@@ -1,0 +1,128 @@
+"""ITU-R BS.1770-4 loudness metering and normalisation on TPU.
+
+First-party replacement for ``pyloudnorm`` as used by the reference
+preprocessor (``/root/reference/audio_pipeline/preprocessor.py:263-277``):
+K-weighting (high-shelf + high-pass biquads, run through the parallel
+associative-scan IIR in :mod:`.iir`), 400 ms gating blocks at 75 % overlap,
+absolute −70 LUFS and relative −10 LU gates, then a linear gain to the
+target loudness with a unity-peak limiter.
+
+Filter coefficients follow the same parametric design pyloudnorm uses
+(G=+4 dB high-shelf @1500 Hz Q=1/√2; high-pass @38 Hz Q=0.5) so metering
+agrees at any supported sample rate.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .framing import frame_signal, num_frames
+from .iir import biquad_filter
+
+__all__ = [
+    "k_weighting_coefficients",
+    "k_weight",
+    "integrated_loudness",
+    "normalize_loudness",
+]
+
+_ABS_GATE_LUFS = -70.0
+_REL_GATE_LU = -10.0
+_BLOCK_S = 0.400
+_STEP_S = 0.100
+_OFFSET = -0.691
+
+
+@lru_cache(maxsize=8)
+def k_weighting_coefficients(fs: int) -> Tuple[Tuple[float, ...], ...]:
+    """((b, a) high-shelf, (b, a) high-pass) for sample rate ``fs``."""
+    # Stage 1: +4 dB high-shelf at 1500 Hz, Q = 1/sqrt(2)
+    G, q, fc = 4.0, 1.0 / math.sqrt(2.0), 1500.0
+    A = 10.0 ** (G / 40.0)
+    w0 = 2.0 * math.pi * fc / fs
+    alpha = math.sin(w0) / (2.0 * q)
+    cw = math.cos(w0)
+    b_hs = np.array(
+        [
+            A * ((A + 1) + (A - 1) * cw + 2 * math.sqrt(A) * alpha),
+            -2 * A * ((A - 1) + (A + 1) * cw),
+            A * ((A + 1) + (A - 1) * cw - 2 * math.sqrt(A) * alpha),
+        ]
+    )
+    a_hs = np.array(
+        [
+            (A + 1) - (A - 1) * cw + 2 * math.sqrt(A) * alpha,
+            2 * ((A - 1) - (A + 1) * cw),
+            (A + 1) - (A - 1) * cw - 2 * math.sqrt(A) * alpha,
+        ]
+    )
+    b_hs, a_hs = b_hs / a_hs[0], a_hs / a_hs[0]
+
+    # Stage 2: high-pass at 38 Hz, Q = 0.5
+    q, fc = 0.5, 38.0
+    w0 = 2.0 * math.pi * fc / fs
+    alpha = math.sin(w0) / (2.0 * q)
+    cw = math.cos(w0)
+    b_hp = np.array([(1 + cw) / 2.0, -(1 + cw), (1 + cw) / 2.0])
+    a_hp = np.array([1 + alpha, -2 * cw, 1 - alpha])
+    b_hp, a_hp = b_hp / a_hp[0], a_hp / a_hp[0]
+
+    return (tuple(b_hs), tuple(a_hs)), (tuple(b_hp), tuple(a_hp))
+
+
+def k_weight(x: jnp.ndarray, fs: int) -> jnp.ndarray:
+    """Apply the two-stage K-weighting filter along the last axis."""
+    (b1, a1), (b2, a2) = k_weighting_coefficients(fs)
+    x64 = x.astype(jnp.float32)
+    y = biquad_filter(x64, np.asarray(b1), np.asarray(a1))
+    return biquad_filter(y, np.asarray(b2), np.asarray(a2))
+
+
+def _block_mean_squares(y: jnp.ndarray, fs: int) -> jnp.ndarray:
+    """Per-gating-block mean square power of the K-weighted signal."""
+    block = int(round(_BLOCK_S * fs))
+    step = int(round(_STEP_S * fs))
+    frames = frame_signal(y, block, step)  # [..., n_blocks, block]
+    return jnp.mean(frames * frames, axis=-1)
+
+
+def integrated_loudness(x: jnp.ndarray, fs: int) -> jnp.ndarray:
+    """Gated integrated loudness (LUFS) of a mono float signal.
+
+    Returns ``-inf`` for silence / signals shorter than one 400 ms block,
+    matching pyloudnorm's behaviour that the reference relies on to skip
+    quiet audio (preprocessor.py:267-269).
+    """
+    if num_frames(x.shape[-1], int(round(_BLOCK_S * fs)), int(round(_STEP_S * fs))) < 1:
+        return jnp.asarray(-jnp.inf, dtype=jnp.float32)
+
+    y = k_weight(x, fs)
+    z = _block_mean_squares(y, fs)  # [..., n_blocks]
+    block_lufs = _OFFSET + 10.0 * jnp.log10(jnp.maximum(z, 1e-30))
+
+    abs_mask = block_lufs > _ABS_GATE_LUFS
+    abs_count = jnp.maximum(jnp.sum(abs_mask, axis=-1), 1)
+    z_abs = jnp.sum(jnp.where(abs_mask, z, 0.0), axis=-1) / abs_count
+    rel_gate = _OFFSET + 10.0 * jnp.log10(jnp.maximum(z_abs, 1e-30)) + _REL_GATE_LU
+
+    both_mask = abs_mask & (block_lufs > rel_gate)
+    both_count = jnp.sum(both_mask, axis=-1)
+    z_gated = jnp.sum(jnp.where(both_mask, z, 0.0), axis=-1) / jnp.maximum(both_count, 1)
+    lufs = _OFFSET + 10.0 * jnp.log10(jnp.maximum(z_gated, 1e-30))
+    return jnp.where(both_count > 0, lufs, -jnp.inf).astype(jnp.float32)
+
+
+def normalize_loudness(
+    x: jnp.ndarray, measured_lufs: jnp.ndarray, target_lufs: float = -16.0
+) -> jnp.ndarray:
+    """Linear gain to the target loudness, then a unity-peak safety limiter
+    (reference parity: preprocessor.py:271-277)."""
+    gain = 10.0 ** ((target_lufs - measured_lufs) / 20.0)
+    out = x * gain
+    peak = jnp.max(jnp.abs(out))
+    return jnp.where(peak > 1.0, out / jnp.maximum(peak, 1e-12), out)

@@ -1,0 +1,50 @@
+"""Music/background detection: short-window energy coefficient of variation.
+
+Exact port of the reference's separation heuristic
+(``/root/reference/audio_pipeline/separator.py:87-141``): 50 ms window RMS
+energies; music has *consistent* energy, so a low coefficient of variation
+(std/mean < 0.6) flags music, with confidence ``clip((0.8 − cv) / 0.4)``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["analyze_audio_content", "energy_cv"]
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def energy_cv(audio: jnp.ndarray, sr: int) -> jnp.ndarray:
+    """Coefficient of variation of 50 ms window RMS energies."""
+    window = int(sr * 0.05)
+    n = (audio.shape[-1] // window) * window
+    windows = audio[:n].reshape(-1, window)
+    energies = jnp.sqrt(jnp.mean(windows * windows, axis=-1))
+    return jnp.std(energies) / (jnp.mean(energies) + 1e-10)
+
+
+def analyze_audio_content(audio: np.ndarray, sr: int) -> Dict:
+    """Reference-compatible analysis dict: has_music / confidence / energy_cv."""
+    window = int(sr * 0.05)
+    num_windows = len(audio) // window
+    if num_windows < 10:
+        return {"has_music": False, "confidence": 0.0, "reason": "Audio too short"}
+
+    cv = float(energy_cv(jnp.asarray(audio), sr))
+    has_music = cv < 0.6
+    confidence = max(0.0, min(1.0, (0.8 - cv) / 0.4))
+    return {
+        "has_music": has_music,
+        "confidence": confidence,
+        "energy_cv": cv,
+        "reason": (
+            "Low energy variance suggests background music"
+            if has_music
+            else "High energy variance suggests speech only"
+        ),
+    }

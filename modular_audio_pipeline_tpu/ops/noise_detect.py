@@ -1,0 +1,66 @@
+"""Noise-profile auto-detection: frame energy + zero-crossing rate.
+
+Vectorised TPU replacement for the reference's interpreted per-frame loop
+(``/root/reference/audio_pipeline/preprocessor.py:92-147``), preserving its
+decision rule exactly:
+
+- 25 ms frames, 10 ms hop,
+- noise frames = energy below the 20th percentile AND ZCR above half the
+  median,
+- contiguous runs of at least 100 ms become noise segments.
+
+The feature extraction (the O(n) part) is one jitted function; the run
+extraction (variable-size output) happens on host over a tiny boolean
+vector of frames.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .framing import frame_signal
+
+__all__ = ["frame_energy_zcr", "detect_noise_segments"]
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def frame_energy_zcr(audio: jnp.ndarray, sr: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-frame (RMS energy, zero-crossing rate); 25 ms frames, 10 ms hop."""
+    frame_length = int(sr * 0.025)
+    hop = int(sr * 0.010)
+    frames = frame_signal(audio, frame_length, hop)  # [nf, frame_length]
+    energies = jnp.sqrt(jnp.mean(frames * frames, axis=-1))
+    signs = jnp.signbit(frames)
+    zcrs = jnp.sum(jnp.abs(jnp.diff(signs.astype(jnp.int32), axis=-1)), axis=-1) / frame_length
+    return energies, zcrs.astype(jnp.float32)
+
+
+def detect_noise_segments(audio: np.ndarray, sr: int) -> List[Tuple[int, int]]:
+    """(start_sample, end_sample) runs likely to be pure noise."""
+    hop = int(sr * 0.010)
+    frame_length = int(sr * 0.025)
+    if len(audio) < frame_length:
+        return []
+
+    energies, zcrs = (np.asarray(v) for v in frame_energy_zcr(jnp.asarray(audio), sr))
+
+    energy_threshold = np.percentile(energies, 20)
+    zcr_threshold = np.percentile(zcrs, 50)
+    noise_frames = (energies < energy_threshold) & (zcrs > zcr_threshold * 0.5)
+
+    segments: List[Tuple[int, int]] = []
+    in_noise = False
+    start_frame = 0
+    for i, is_noise in enumerate(noise_frames):
+        if is_noise and not in_noise:
+            start_frame, in_noise = i, True
+        elif not is_noise and in_noise:
+            if (i - start_frame) * hop / sr >= 0.1:  # >= 100 ms
+                segments.append((start_frame * hop, i * hop))
+            in_noise = False
+    return segments

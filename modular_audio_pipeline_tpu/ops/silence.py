@@ -1,0 +1,195 @@
+"""Silence detection and removal with timestamp mappings.
+
+Reproduces the reference's pydub-based semantics exactly
+(``/root/reference/audio_pipeline/preprocessor.py:290-405``):
+
+- threshold = clip dBFS − ``silence_offset_db`` (default 40 dB below mean),
+- a millisecond grid of sliding ``min_silence_len`` windows whose RMS is
+  compared against the threshold (pydub ``detect_silence`` algorithm,
+  vectorised with a cumulative-sum instead of pydub's per-window loop),
+- non-silent ranges = complement, each kept with ``silence_margin`` ms of
+  context and joined with a ≤20 ms linear crossfade,
+- a :class:`TimestampMapping` per kept chunk, with the crossfade position
+  compensation the reference applies (preprocessor.py:349-358).
+
+The detection math is vectorised NumPy on host: the output (a variable
+number of ranges) is inherently data-dependent, so it cannot live under
+jit; the per-sample work is one cumsum, which is memory-bound either way.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from ..protocols import TimestampMapping
+
+__all__ = [
+    "detect_silence_ranges",
+    "detect_nonsilent_ranges",
+    "remove_silence",
+]
+
+_FULL_SCALE = 32768.0
+
+
+def _window_mean_square(x: np.ndarray, sr: int, window_ms: int) -> np.ndarray:
+    """Mean-square level of every sliding ``window_ms`` window on a 1 ms grid."""
+    spms = sr // 1000  # samples per millisecond (sr is validated to be multiple)
+    n_ms = len(x) // spms
+    if n_ms < window_ms:
+        return np.empty(0, dtype=np.float64)
+    sq = np.square(x[: n_ms * spms].astype(np.float64) * _FULL_SCALE)
+    cs = np.concatenate([[0.0], np.cumsum(sq)])
+    win = window_ms * spms
+    starts = np.arange(0, (n_ms - window_ms) + 1) * spms
+    sums = cs[starts + win] - cs[starts]
+    return sums / win
+
+
+def detect_silence_ranges(
+    x: np.ndarray,
+    sr: int,
+    min_silence_len: int = 250,
+    silence_thresh_db: float = -56.0,
+) -> List[Tuple[int, int]]:
+    """pydub ``detect_silence``: [start_ms, end_ms) silent ranges."""
+    spms = sr // 1000
+    seg_len_ms = len(x) // spms
+    if seg_len_ms < min_silence_len:
+        return []
+
+    # pydub compares linear RMS <= db_to_float(thresh) * full_scale, so a
+    # -inf threshold still marks digitally-silent windows (rms == 0).
+    ms2 = _window_mean_square(x, sr, min_silence_len)
+    thresh_ms2 = (
+        0.0
+        if np.isneginf(silence_thresh_db)
+        else (10.0 ** (silence_thresh_db / 10.0)) * _FULL_SCALE**2
+    )
+    silent = np.flatnonzero(ms2 <= thresh_ms2)  # window start times (ms)
+    if silent.size == 0:
+        return []
+
+    # Group starts: a break happens when starts are non-contiguous AND the
+    # gap exceeds the window length (pydub's combine rule).
+    breaks = np.flatnonzero(
+        (np.diff(silent) != 1) & (np.diff(silent) > min_silence_len)
+    )
+    range_starts = np.concatenate([[0], breaks + 1])
+    range_ends = np.concatenate([breaks, [silent.size - 1]])
+    return [
+        (int(silent[s]), int(silent[e]) + min_silence_len)
+        for s, e in zip(range_starts, range_ends)
+    ]
+
+
+def detect_nonsilent_ranges(
+    x: np.ndarray,
+    sr: int,
+    min_silence_len: int = 250,
+    silence_thresh_db: float = -56.0,
+) -> List[Tuple[int, int]]:
+    """pydub ``detect_nonsilent``: complement of the silent ranges (ms)."""
+    spms = sr // 1000
+    seg_len_ms = len(x) // spms
+    silent = detect_silence_ranges(x, sr, min_silence_len, silence_thresh_db)
+    if not silent:
+        return [(0, seg_len_ms)] if seg_len_ms > 0 else []
+    if len(silent) == 1 and silent[0] == (0, seg_len_ms):
+        return []
+
+    out = []
+    prev_end = 0
+    for s, e in silent:
+        if s > prev_end:
+            out.append((prev_end, s))
+        prev_end = e
+    if prev_end < seg_len_ms:
+        out.append((prev_end, seg_len_ms))
+    # pydub keeps a zero-length leading range out; guard against degenerates
+    return [(s, e) for s, e in out if e > s]
+
+
+def _crossfade_concat(
+    chunks: List[np.ndarray], crossfades_ms: List[int], sr: int
+) -> np.ndarray:
+    """Concatenate with linear crossfades: out_len = sum(len) - sum(xf)."""
+    spms = sr // 1000
+    if not chunks:
+        return np.empty(0, dtype=np.float32)
+    out = chunks[0].astype(np.float32)
+    for chunk, xf_ms in zip(chunks[1:], crossfades_ms):
+        xf = xf_ms * spms
+        chunk = chunk.astype(np.float32)
+        if xf <= 0 or xf > min(len(out), len(chunk)):
+            out = np.concatenate([out, chunk])
+            continue
+        ramp = np.linspace(0.0, 1.0, xf, dtype=np.float32)
+        blended = out[-xf:] * (1.0 - ramp) + chunk[:xf] * ramp
+        out = np.concatenate([out[:-xf], blended, chunk[xf:]])
+    return out
+
+
+def remove_silence(
+    x: np.ndarray,
+    sr: int,
+    min_silence_len: int = 250,
+    silence_offset_db: float = 40.0,
+    silence_margin_ms: int = 100,
+    preserve_timestamps: bool = True,
+) -> Tuple[np.ndarray, List[TimestampMapping], bool]:
+    """Strip silence; return (audio, mappings, changed).
+
+    ``changed`` is False when no non-silent ranges were found, in which case
+    the caller should pass the input through untouched (reference
+    preprocessor.py:321-323).
+    """
+    spms = sr // 1000
+    seg_len_ms = len(x) // spms
+
+    # Threshold relative to the clip's average level (reference :313).
+    sq = np.square(x.astype(np.float64) * _FULL_SCALE)
+    mean_sq = sq.mean() if len(sq) else 0.0
+    clip_dbfs = (
+        10.0 * np.log10(mean_sq / _FULL_SCALE**2) if mean_sq > 0 else -float("inf")
+    )
+    thresh = clip_dbfs - silence_offset_db
+
+    ranges = detect_nonsilent_ranges(x, sr, min_silence_len, thresh)
+    if not ranges:
+        return x, [], False
+
+    chunks: List[np.ndarray] = []
+    mappings: List[TimestampMapping] = []
+    crossfades: List[int] = []
+    processed_ms = 0
+
+    for i, (start_ms, end_ms) in enumerate(ranges):
+        s = max(0, start_ms - silence_margin_ms)
+        e = min(seg_len_ms, end_ms + silence_margin_ms)
+        chunk = x[s * spms : e * spms]
+        chunk_ms = e - s
+
+        # Mapping is recorded *before* this chunk's own crossfade shift —
+        # exactly the reference's ordering (preprocessor.py:338-358).
+        if preserve_timestamps:
+            mappings.append(
+                TimestampMapping(
+                    processed_start=processed_ms / 1000.0,
+                    processed_end=(processed_ms + chunk_ms) / 1000.0,
+                    original_start=s / 1000.0,
+                    original_end=e / 1000.0,
+                )
+            )
+
+        if i > 0:
+            xf = min(20, chunk_ms // 4)
+            crossfades.append(xf)
+            processed_ms -= xf  # crossfade position compensation
+        chunks.append(chunk)
+        processed_ms += chunk_ms
+
+    out = _crossfade_concat(chunks, crossfades, sr)
+    return out, mappings, True
