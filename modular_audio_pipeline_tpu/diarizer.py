@@ -1,0 +1,253 @@
+"""Speaker diarization component (protocol layer).
+
+Mirrors the reference ``SpeakerDiarizer``
+(``/root/reference/audio_pipeline/diarizer.py:26-315``): lazy loading,
+retry x2, **silent fallback to NoOp when the model stack fails to load**
+(diarizer.py:146-150 — diarization is optional-quality, never fatal),
+min/max speaker constraints, and the same ``DiarizationSegment`` output
+with ``SPEAKER_NN`` labels.
+
+The pyannote pipeline (segmentation -> embedding -> clustering) becomes:
+
+1. speech regions from the energy VAD (device),
+2. 1.5 s / 0.75 s-hop subsegments inside speech, embedded in batches of
+   ``embedding_batch_size`` (reference parity: 32) on TPU,
+3. constrained agglomerative clustering on host,
+4. adjacent same-speaker subsegments merged into turns.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Any, List, Optional
+
+import numpy as np
+
+from .audio_io import read_wav
+from .config import PipelineConfig, RetryConfig
+from .exceptions import DiarizationError, ModelLoadError
+from .protocols import DiarizationSegment, DiarizerProtocol
+from .utils import get_audio_duration, retry_with_backoff
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["SpeakerDiarizer", "NoOpDiarizer"]
+
+_SUBSEG_S = 1.5
+_SUBSEG_HOP_S = 0.75
+
+
+class SpeakerDiarizer(DiarizerProtocol):
+    """Embedding + clustering diarizer with graceful NoOp degradation."""
+
+    def __init__(
+        self,
+        model_name: str = "pyannote/speaker-diarization-3.1",
+        device: str = "tpu",
+        weights_path: Optional[str] = None,
+        segmentation_batch_size: int = 32,
+        embedding_batch_size: int = 32,
+        lazy_load: bool = True,
+    ):
+        self.model_name = model_name
+        self.device = device
+        self.weights_path = weights_path
+        self.segmentation_batch_size = segmentation_batch_size
+        self.embedding_batch_size = embedding_batch_size
+        self._embedder = None
+        self._use_noop = False
+        if not lazy_load:
+            self.load_model()
+
+    @classmethod
+    def from_config(cls, config: PipelineConfig) -> "SpeakerDiarizer":
+        return cls(
+            model_name=config.diarization.model,
+            weights_path=config.diarization.weights_path,
+            segmentation_batch_size=config.diarization.segmentation_batch_size,
+            embedding_batch_size=config.diarization.embedding_batch_size,
+            lazy_load=config.lazy_load_models,
+        )
+
+    def is_loaded(self) -> bool:
+        return self._embedder is not None
+
+    def load_model(self) -> None:
+        if self._embedder is not None or self._use_noop:
+            return
+        try:
+            if self.weights_path and Path(self.weights_path).exists():
+                from .models.diarization.embedding import ConvEmbedder
+                from .models.whisper.convert import unflatten_tree
+
+                with np.load(Path(self.weights_path) / "params.npz") as z:
+                    flat = {k: z[k] for k in z.files}
+                self._embedder = ConvEmbedder(params=unflatten_tree(flat))
+                logger.info("Loaded ConvEmbedder weights from %s", self.weights_path)
+            else:
+                from .models.diarization.embedding import StatsEmbedder
+
+                self._embedder = StatsEmbedder()
+                logger.info("Using MFCC-statistics speaker embedder (no checkpoint)")
+        except Exception as exc:
+            # Reference behaviour: degrade to NoOp rather than fail the run
+            # (diarizer.py:146-150).
+            logger.error("Failed to load diarization model: %s", exc)
+            logger.warning("Falling back to NoOp diarization (single speaker)")
+            self._use_noop = True
+
+    def unload_model(self) -> None:
+        self._embedder = None
+
+    # -- internals -------------------------------------------------------------
+
+    def _speech_regions(self, audio: np.ndarray, sr: int) -> List[tuple]:
+        import jax.numpy as jnp
+
+        from .ops.vad_ops import frame_speech_flags, hangover_segments
+
+        frame_ms = 30
+        flags = np.asarray(frame_speech_flags(jnp.asarray(audio), sr, frame_ms, 1))
+        segs = hangover_segments(flags, frame_ms, 300, 0.5, 0.9)
+        spf = sr * frame_ms // 1000
+        if not segs:
+            return [(0, len(audio))]
+        return [(s * spf, min(len(audio), (e + 1) * spf)) for s, e, _ in segs]
+
+    def _subsegments(self, audio: np.ndarray, sr: int) -> List[tuple]:
+        """(start_sample, end_sample) sliding subsegments inside speech."""
+        win = int(_SUBSEG_S * sr)
+        hop = int(_SUBSEG_HOP_S * sr)
+        out = []
+        for region_start, region_end in self._speech_regions(audio, sr):
+            pos = region_start
+            while pos + win <= region_end:
+                out.append((pos, pos + win))
+                pos += hop
+            # short tail region: keep one subsegment padded from the end
+            if region_end - region_start < win and region_end - region_start > sr // 4:
+                start = max(0, region_end - win)
+                out.append((start, start + win))
+        return out
+
+    def _embed_all(self, audio: np.ndarray, sr: int, spans: List[tuple]) -> np.ndarray:
+        win = int(_SUBSEG_S * sr)
+        batch_size = self.embedding_batch_size
+        embs = []
+        for i in range(0, len(spans), batch_size):
+            chunk = spans[i : i + batch_size]
+            batch = np.zeros((batch_size, win), dtype=np.float32)  # fixed shape
+            for j, (s, e) in enumerate(chunk):
+                seg = audio[s:e]
+                batch[j, : len(seg)] = seg[:win]
+            embs.append(self._embedder.embed(batch)[: len(chunk)])
+        return np.concatenate(embs, axis=0)
+
+    # -- protocol ----------------------------------------------------------------
+
+    @retry_with_backoff(
+        config=RetryConfig(max_attempts=2, initial_delay_s=2.0),
+        exceptions=(RuntimeError,),
+    )
+    def diarize(
+        self,
+        audio_path: str,
+        min_speakers: int = 2,
+        max_speakers: int = 5,
+    ) -> List[DiarizationSegment]:
+        self.load_model()
+        if self._use_noop:
+            return NoOpDiarizer().diarize(audio_path, min_speakers, max_speakers)
+
+        try:
+            audio, sr = read_wav(audio_path)
+            spans = self._subsegments(audio, sr)
+            if not spans:
+                return []
+
+            embeddings = self._embed_all(audio, sr, spans)
+
+            from .models.diarization.clustering import cluster_embeddings
+
+            labels = cluster_embeddings(
+                embeddings, min_speakers=min_speakers, max_speakers=max_speakers
+            )
+
+            # Merge adjacent same-label subsegments into speaker turns.
+            segments: List[DiarizationSegment] = []
+            cur_label = None
+            cur_start = cur_end = 0.0
+            for (s, e), lab in zip(spans, labels):
+                t0, t1 = s / sr, e / sr
+                if cur_label is None:
+                    cur_label, cur_start, cur_end = int(lab), t0, t1
+                elif int(lab) == cur_label and t0 <= cur_end + _SUBSEG_HOP_S:
+                    cur_end = max(cur_end, t1)
+                else:
+                    segments.append(
+                        DiarizationSegment(
+                            speaker=f"SPEAKER_{cur_label:02d}",
+                            start=round(cur_start, 3),
+                            end=round(cur_end, 3),
+                            track=str(len(segments)),
+                        )
+                    )
+                    cur_label, cur_start, cur_end = int(lab), t0, t1
+            if cur_label is not None:
+                segments.append(
+                    DiarizationSegment(
+                        speaker=f"SPEAKER_{cur_label:02d}",
+                        start=round(cur_start, 3),
+                        end=round(cur_end, 3),
+                        track=str(len(segments)),
+                    )
+                )
+            logger.info(
+                "Diarization: %d turns, %d speakers",
+                len(segments), len(set(s.speaker for s in segments)),
+            )
+            return segments
+        except RuntimeError:
+            raise
+        except Exception as exc:
+            raise DiarizationError(
+                f"Diarization failed for: {audio_path}", details=str(exc)
+            )
+
+    def diarize_with_embedding(
+        self, audio_path: str, reference_embeddings: Optional[Any] = None
+    ) -> List[DiarizationSegment]:
+        """Reserved for speaker-identification workflows (reference stub
+        parity: diarizer.py:261-278)."""
+        return self.diarize(audio_path)
+
+
+class NoOpDiarizer(DiarizerProtocol):
+    """Whole file attributed to SPEAKER_00 (reference diarizer.py:281-315)."""
+
+    def is_loaded(self) -> bool:
+        return True
+
+    def load_model(self) -> None:
+        pass
+
+    def unload_model(self) -> None:
+        pass
+
+    def diarize(
+        self,
+        audio_path: str,
+        min_speakers: int = 2,
+        max_speakers: int = 5,
+    ) -> List[DiarizationSegment]:
+        try:
+            duration = get_audio_duration(audio_path)
+        except Exception:
+            duration = 0.0
+        return [
+            DiarizationSegment(
+                speaker="SPEAKER_00", start=0.0, end=duration, track="0"
+            )
+        ]

@@ -1,0 +1,65 @@
+"""Agglomerative speaker clustering with speaker-count constraints.
+
+Host-side (the O(n^2) linkage over a few hundred embeddings is trivial
+next to the device work), mirroring pyannote's AHC stage. Cluster count:
+honour ``min_speakers``/``max_speakers`` (reference ``diarizer.py:199-203``)
+and otherwise cut the dendrogram at a cosine-distance threshold.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from scipy.cluster.hierarchy import fcluster, linkage
+from scipy.spatial.distance import pdist
+
+__all__ = ["cluster_embeddings"]
+
+
+def cluster_embeddings(
+    embeddings: np.ndarray,  # [N, D], unit-norm
+    min_speakers: int = 1,
+    max_speakers: int = 5,
+    threshold: float = 1.0,
+) -> np.ndarray:
+    """Returns integer labels [N] in 0..n_clusters-1, ordered by first
+    appearance (so SPEAKER_00 is whoever speaks first).
+
+    Embeddings are standardised per recording (z-score per dimension, then
+    re-normalised) before clustering: raw embeddings share a large common
+    component (channel/recording effects) that compresses cosine
+    distances; removing it makes the speaker structure dominate. The
+    default ``threshold`` is calibrated on the standardised space.
+    """
+    n = embeddings.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    if n == 1 or max_speakers <= 1:
+        return np.zeros(n, dtype=np.int32)
+
+    x = embeddings.astype(np.float64)
+    x = (x - x.mean(axis=0)) / (x.std(axis=0) + 1e-8)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-8)
+
+    dists = pdist(x, metric="cosine")
+    z = linkage(dists, method="average")
+
+    labels = fcluster(z, t=threshold, criterion="distance")
+    n_found = len(np.unique(labels))
+
+    lo = max(1, min_speakers)
+    hi = max(lo, max_speakers)
+    if n_found < lo:
+        labels = fcluster(z, t=min(lo, n), criterion="maxclust")
+    elif n_found > hi:
+        labels = fcluster(z, t=hi, criterion="maxclust")
+
+    # Relabel by first appearance.
+    order: dict = {}
+    out = np.empty(n, dtype=np.int32)
+    for i, lab in enumerate(labels):
+        if lab not in order:
+            order[lab] = len(order)
+        out[i] = order[lab]
+    return out

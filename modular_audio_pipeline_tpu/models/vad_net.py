@@ -1,0 +1,193 @@
+"""Silero-class DNN VAD in JAX + probability post-processing.
+
+The reference loads Silero VAD through torch.hub
+(``/root/reference/audio_pipeline/vad.py:384-389``) and consumes
+``get_speech_timestamps(threshold, return_seconds=True)``. Here:
+
+- :class:`ConvVAD` — a small causal conv net over log-mel features
+  producing per-window speech probabilities (512-sample windows @16 kHz,
+  Silero's hop). Weights load from a converted checkpoint; random init for
+  tests; trainable later.
+- :func:`energy_speech_probs` — a weight-free fallback scoring windows by
+  sub-band SNR (same detector as ops.vad_ops), mapped through a sigmoid so
+  thresholds behave like model probabilities.
+- :func:`speech_timestamps_from_probs` — Silero's hysteresis
+  post-processing: trigger at ``threshold``, release below
+  ``threshold - 0.15`` sustained for ``min_silence_duration_ms``, drop
+  speeches under ``min_speech_duration_ms``, pad by ``speech_pad_ms``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "ConvVAD",
+    "energy_speech_probs",
+    "speech_timestamps_from_probs",
+    "WINDOW_SAMPLES",
+]
+
+WINDOW_SAMPLES = 512  # Silero's 32 ms @ 16 kHz
+
+
+def energy_speech_probs(audio: np.ndarray, sr: int) -> np.ndarray:
+    """Per-512-sample-window speech probability from sub-band SNR."""
+    from ..ops.vad_ops import _BAND_EDGES  # shared band layout
+
+    n = (len(audio) // WINDOW_SAMPLES) * WINDOW_SAMPLES
+    if n == 0:
+        return np.zeros(0, dtype=np.float32)
+    frames = audio[:n].reshape(-1, WINDOW_SAMPLES)
+    spec = np.abs(np.fft.rfft(frames, axis=-1)) ** 2
+    freqs = np.fft.rfftfreq(WINDOW_SAMPLES, 1.0 / sr)
+
+    bands = []
+    for lo, hi in zip(_BAND_EDGES[:-1], _BAND_EDGES[1:]):
+        sel = (freqs >= lo) & (freqs < hi)
+        bands.append(spec[:, sel].sum(axis=-1))
+    bands = np.stack(bands, axis=-1)  # [nf, 6]
+
+    k = max(1, len(bands) // 10)
+    floor = np.sort(bands, axis=0)[:k].mean(axis=0) + 1e-12
+    score = np.log2(1.0 + bands / floor).sum(axis=-1)
+
+    # Absolute gate (digital silence) + sigmoid calibration: score ~6 is
+    # borderline, ~12 is confident speech.
+    frame_db = 10 * np.log10(np.mean(frames**2, axis=-1) + 1e-12)
+    prob = 1.0 / (1.0 + np.exp(-(score - 7.0) / 2.0))
+    prob = np.where(frame_db < -60.0, 0.0, prob)
+    return prob.astype(np.float32)
+
+
+class ConvVAD:
+    """Tiny causal conv VAD: log-mel (8 bands) -> 3 conv layers -> prob."""
+
+    N_MELS = 16
+    HIDDEN = 64
+
+    def __init__(self, params: Optional[Dict[str, Any]] = None, seed: int = 0):
+        self.params = params if params is not None else self.init_params(seed)
+        self._forward = jax.jit(self._forward_impl)
+
+    @classmethod
+    def init_params(cls, seed: int = 0) -> Dict[str, Any]:
+        k = jax.random.split(jax.random.PRNGKey(seed), 4)
+        h, m = cls.HIDDEN, cls.N_MELS
+
+        def conv(key, cin, cout, width):
+            return {
+                "w": jax.random.normal(key, (cout, cin, width)) * (cin * width) ** -0.5,
+                "b": jnp.zeros((cout,)),
+            }
+
+        return {
+            "conv1": conv(k[0], m, h, 3),
+            "conv2": conv(k[1], h, h, 3),
+            "conv3": conv(k[2], h, h, 3),
+            "head": {
+                "w": jax.random.normal(k[3], (h, 1)) * h**-0.5,
+                "b": jnp.zeros((1,)),
+            },
+        }
+
+    @staticmethod
+    def _features(audio: jnp.ndarray) -> jnp.ndarray:
+        """[T] -> [n_windows, N_MELS] log band energies per 512 samples."""
+        n = (audio.shape[-1] // WINDOW_SAMPLES) * WINDOW_SAMPLES
+        frames = audio[:n].reshape(-1, WINDOW_SAMPLES)
+        spec = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2  # [nw, 257]
+        # 16 log-spaced band groups
+        edges = np.unique(
+            np.geomspace(2, spec.shape[-1] - 1, ConvVAD.N_MELS + 1).astype(int)
+        )
+        while len(edges) < ConvVAD.N_MELS + 1:
+            edges = np.append(edges, edges[-1] + 1)
+        bands = [
+            spec[:, lo:hi].sum(axis=-1) for lo, hi in zip(edges[:-1], edges[1:])
+        ]
+        x = jnp.stack(bands, axis=-1)
+        return jnp.log10(x + 1e-10)
+
+    def _forward_impl(self, params, audio: jnp.ndarray) -> jnp.ndarray:
+        x = self._features(audio).T[None]  # [1, C, T]
+        for name in ("conv1", "conv2", "conv3"):
+            p = params[name]
+            x = jax.lax.conv_general_dilated(
+                x, p["w"], (1,), ((2, 0),),  # causal left-pad
+                dimension_numbers=("NCT", "OIT", "NCT"),
+            ) + p["b"][None, :, None]
+            x = jax.nn.relu(x)
+        logits = jnp.einsum("ct,ch->ht", x[0], params["head"]["w"]) + params["head"]["b"][:, None]
+        return jax.nn.sigmoid(logits[0])
+
+    def speech_probs(self, audio: np.ndarray, sr: int) -> np.ndarray:
+        if sr != 16000:
+            from ..audio_io import resample_poly
+
+            audio = resample_poly(audio, sr, 16000)
+        if len(audio) < WINDOW_SAMPLES:
+            return np.zeros(0, dtype=np.float32)
+        return np.asarray(self._forward(self.params, jnp.asarray(audio)))
+
+
+def speech_timestamps_from_probs(
+    probs: np.ndarray,
+    sr: int,
+    threshold: float = 0.5,
+    min_speech_duration_ms: int = 250,
+    min_silence_duration_ms: int = 100,
+    speech_pad_ms: int = 30,
+    audio_length_samples: Optional[int] = None,
+) -> List[Dict[str, float]]:
+    """Silero-style hysteresis segmentation of window probabilities.
+
+    Returns [{"start": s, "end": s}] in **seconds** (the reference always
+    calls with return_seconds=True, vad.py:434-440).
+    """
+    window = WINDOW_SAMPLES
+    neg_threshold = max(threshold - 0.15, 0.01)
+    min_speech = sr * min_speech_duration_ms / 1000
+    min_silence = sr * min_silence_duration_ms / 1000
+    pad = int(sr * speech_pad_ms / 1000)
+    total = audio_length_samples if audio_length_samples is not None else len(probs) * window
+
+    speeches: List[Dict[str, float]] = []
+    triggered = False
+    start = 0
+    temp_end = 0
+
+    for i, p in enumerate(probs):
+        pos = i * window
+        if p >= threshold and temp_end:
+            temp_end = 0
+        if p >= threshold and not triggered:
+            triggered = True
+            start = pos
+            continue
+        if p < neg_threshold and triggered:
+            if not temp_end:
+                temp_end = pos
+            if pos - temp_end >= min_silence:
+                end = temp_end + window
+                if end - start >= min_speech:
+                    speeches.append({"start": start, "end": end})
+                triggered = False
+                temp_end = 0
+
+    if triggered:
+        end = total
+        if end - start >= min_speech:
+            speeches.append({"start": start, "end": end})
+
+    out = []
+    for s in speeches:
+        a = max(0, int(s["start"]) - pad)
+        b = min(total, int(s["end"]) + pad)
+        out.append({"start": a / sr, "end": b / sr})
+    return out

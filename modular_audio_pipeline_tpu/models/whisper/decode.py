@@ -1,0 +1,453 @@
+"""Batched Whisper decoding on TPU: greedy and beam search with KV cache.
+
+Replaces CTranslate2's C++ beam search (the reference's hot path,
+``/root/reference/audio_pipeline/transcriber.py:421-427``; beam_size 5,
+temperature 0.0, word timestamps). Everything runs inside one
+``lax.while_loop`` per batch of 30 s windows:
+
+- static token bound (``max_tokens``; whisper's n_text_ctx/2 = 224),
+- logit filters applied as vectorised masks (suppress-blank,
+  suppress-non-speech, and the full timestamp grammar: pairing,
+  monotonicity, max-initial-timestamp, sum-of-timestamp-probability rule),
+- beams folded into the batch dimension: ``[B*K]``; cache reordering is a
+  gather on the batch axis,
+- per-sequence EOT tracking so finished windows idle (no host sync until
+  the loop exits).
+
+The same step function serves greedy (K=1) and beam (K>1) decoding, and
+temperature>0 sampling for whisper's fallback ladder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import WhisperDims
+from .model import KVCache, cross_kv, decoder_forward, encoder_forward
+from .tokenizer import WhisperTokenizer
+
+__all__ = ["DecodeOptions", "DecodeResult", "decode_windows"]
+
+_NEG_INF = jnp.float32(-1e9)
+
+
+@dataclass(frozen=True)
+class DecodeOptions:
+    """Decoding controls (mirrors the reference's TranscriptionConfig knobs)."""
+
+    language: str = "en"
+    task: str = "transcribe"
+    beam_size: int = 1
+    temperature: float = 0.0
+    max_tokens: int = 224
+    timestamps: bool = True
+    max_initial_timestamp: float = 1.0
+    suppress_blank: bool = True
+    suppress_non_speech: bool = True
+    prompt_tokens: Tuple[int, ...] = ()
+    length_penalty: Optional[float] = None  # None => simple length norm
+
+
+class DecodeResult(NamedTuple):
+    tokens: np.ndarray  # [B, max_tokens] int32, EOT-padded
+    lengths: np.ndarray  # [B] valid token counts (excl. EOT)
+    sum_logprobs: np.ndarray  # [B]
+    avg_logprobs: np.ndarray  # [B]
+    no_speech_probs: np.ndarray  # [B]
+
+
+def _build_filter_tables(tok: WhisperTokenizer, opts: DecodeOptions, n_vocab: int):
+    """Static suppression masks, built once per (tokenizer, options)."""
+    suppress = np.zeros(n_vocab, dtype=np.float32)
+    special = [
+        tok.sot, tok.special.sot_lm, tok.sot_prev, tok.no_speech,
+        tok.special.translate, tok.special.transcribe,
+    ] + [tok.special.language_start + i for i in range(tok.special.n_languages)]
+    for t in special:
+        if t < n_vocab:
+            suppress[t] = 1.0
+    if opts.suppress_non_speech:
+        for t in tok.non_speech_tokens():
+            suppress[t] = 1.0
+    if opts.timestamps:
+        suppress[tok.no_timestamps] = 1.0
+
+    blank = np.zeros(n_vocab, dtype=np.float32)
+    for t in tok.encode(" ") + [tok.eot]:
+        blank[t] = 1.0
+    return jnp.asarray(suppress), jnp.asarray(blank)
+
+
+def _apply_timestamp_rules(
+    logprobs: jnp.ndarray,  # [B, V] f32 log-softmax
+    last_tok: jnp.ndarray,  # [B]
+    penult_tok: jnp.ndarray,  # [B]
+    max_ts_tok: jnp.ndarray,  # [B] highest timestamp token emitted so far
+    step_idx: jnp.ndarray,  # scalar: tokens generated so far (0 on first)
+    ts_begin: int,
+    eot: int,
+    max_initial_ts_tok: int,
+) -> jnp.ndarray:
+    """Whisper's timestamp grammar as one vectorised mask pass."""
+    v = logprobs.shape[-1]
+    ids = jnp.arange(v)
+    is_ts = ids >= ts_begin  # [V]
+
+    last_was_ts = last_tok >= ts_begin
+    penult_was_ts = penult_tok >= ts_begin
+
+    # 1. after <ts><ts> or at text: next cannot be a timestamp;
+    #    after a single <ts>: next must be a timestamp or EOT.
+    forbid_ts = last_was_ts & penult_was_ts  # [B]
+    force_ts = last_was_ts & ~penult_was_ts
+    mask = jnp.where(forbid_ts[:, None] & is_ts[None, :], _NEG_INF, 0.0)
+    not_ts_not_eot = (~is_ts) & (ids != eot)
+    mask = mask + jnp.where(force_ts[:, None] & not_ts_not_eot[None, :], _NEG_INF, 0.0)
+
+    # 2. timestamps are non-decreasing: suppress ts tokens <= max seen.
+    #    (strictly: < max for paired starts; <= keeps monotonic segments)
+    below = ids[None, :] < jnp.maximum(max_ts_tok, ts_begin)[:, None]
+    mask = mask + jnp.where(below & is_ts[None, :], _NEG_INF, 0.0)
+
+    # 3. first generated token must be a timestamp, capped at
+    #    max_initial_timestamp.
+    first = step_idx == 0
+    mask = mask + jnp.where(
+        first & not_ts_not_eot[None, :], _NEG_INF, 0.0
+    )
+    mask = mask + jnp.where(
+        first & (ids[None, :] > max_initial_ts_tok) & is_ts[None, :], _NEG_INF, 0.0
+    )
+
+    filtered = logprobs + mask
+
+    # 4. if total timestamp probability beats the best text token, force a
+    #    timestamp.
+    ts_logprob = jax.nn.logsumexp(jnp.where(is_ts[None, :], filtered, _NEG_INF), axis=-1)
+    max_text = jnp.max(jnp.where(is_ts[None, :], _NEG_INF, filtered), axis=-1)
+    force = ts_logprob > max_text  # [B]
+    filtered = filtered + jnp.where(
+        force[:, None] & (~is_ts)[None, :], _NEG_INF, 0.0
+    )
+    return filtered
+
+
+def _decode_loop(
+    params,
+    dims: WhisperDims,
+    xa_k,
+    xa_v,
+    initial_tokens: jnp.ndarray,  # [B, P]
+    sot_index: int,
+    suppress_mask: jnp.ndarray,
+    blank_mask: jnp.ndarray,
+    opts_static: Dict[str, Any],
+    rng: Optional[jnp.ndarray],
+):
+    """Greedy/sampling loop (beam handled by beam_decode_loop)."""
+    b, p = initial_tokens.shape
+    v = dims.n_vocab
+    max_new = opts_static["max_tokens"]
+    eot = opts_static["eot"]
+    ts_begin = opts_static["ts_begin"]
+    timestamps = opts_static["timestamps"]
+    temperature = opts_static["temperature"]
+
+    cache = KVCache.zeros(dims, b, dtype=params["decoder"]["tok_emb"].dtype)
+
+    # Prefill: run the prompt; collect no-speech prob at the SOT position.
+    logits, cache = decoder_forward(params, dims, initial_tokens, xa_k, xa_v, cache)
+    sot_logits = logits[:, sot_index].astype(jnp.float32)
+    no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, opts_static["no_speech"]]
+
+    out_tokens = jnp.full((b, max_new), eot, dtype=jnp.int32)
+    last = initial_tokens[:, -1]
+    penult = initial_tokens[:, -2] if p >= 2 else jnp.full((b,), -1, jnp.int32)
+
+    def body(state):
+        (i, cache, out_tokens, last, penult, max_ts, done, sum_lp, rng_key, prev_logits) = state
+
+        logprobs = jax.nn.log_softmax(prev_logits, axis=-1)  # [B, V]
+
+        # suppress-blank only on the first generated token
+        lp = jnp.where(suppress_mask[None, :] > 0, _NEG_INF, logprobs)
+        lp = jnp.where(
+            (i == 0) & opts_static["suppress_blank"],
+            jnp.where(blank_mask[None, :] > 0, _NEG_INF, lp),
+            lp,
+        )
+        if timestamps:
+            lp = _apply_timestamp_rules(
+                lp, last, penult, max_ts, i, ts_begin, eot,
+                opts_static["max_initial_ts_tok"],
+            )
+
+        if temperature > 0:
+            rng_key, sub = jax.random.split(rng_key)
+            next_tok = jax.random.categorical(sub, lp / temperature, axis=-1)
+        else:
+            next_tok = jnp.argmax(lp, axis=-1)
+        next_tok = jnp.where(done, eot, next_tok).astype(jnp.int32)
+
+        tok_lp = jnp.take_along_axis(lp, next_tok[:, None], axis=-1)[:, 0]
+        sum_lp = sum_lp + jnp.where(done, 0.0, tok_lp)
+
+        out_tokens = jax.lax.dynamic_update_slice_in_dim(
+            out_tokens, next_tok[:, None], i, axis=1
+        )
+        new_done = done | (next_tok == eot)
+        new_max_ts = jnp.where(
+            (next_tok >= ts_begin) & ~done, jnp.maximum(max_ts, next_tok), max_ts
+        )
+
+        logits, cache = decoder_forward(
+            params, dims, next_tok[:, None], xa_k, xa_v, cache
+        )
+        return (
+            i + 1, cache, out_tokens, next_tok, last, new_max_ts, new_done,
+            sum_lp, rng_key, logits[:, -1].astype(jnp.float32),
+        )
+
+    def cond(state):
+        i, _, _, _, _, _, done, _, _, _ = state
+        return (i < max_new) & ~jnp.all(done)
+
+    init_rng = rng if rng is not None else jax.random.PRNGKey(0)
+    state = (
+        jnp.asarray(0, jnp.int32), cache, out_tokens, last, penult,
+        jnp.zeros((b,), jnp.int32), jnp.zeros((b,), bool),
+        jnp.zeros((b,), jnp.float32), init_rng,
+        logits[:, -1].astype(jnp.float32),
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    (_, _, out_tokens, _, _, _, _, sum_lp, _, _) = state
+    return out_tokens, sum_lp, no_speech_prob
+
+
+@partial(
+    jax.jit,
+    static_argnames=("dims", "sot_index", "opts_key"),
+)
+def _greedy_jit(
+    params, dims, xa_k, xa_v, initial_tokens, sot_index,
+    suppress_mask, blank_mask, opts_key, rng,
+):
+    opts_static = dict(opts_key)
+    return _decode_loop(
+        params, dims, xa_k, xa_v, initial_tokens, sot_index,
+        suppress_mask, blank_mask, opts_static, rng,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beam search
+# ---------------------------------------------------------------------------
+
+def _beam_loop(
+    params,
+    dims: WhisperDims,
+    xa_k,  # [L, B*K, H, T, hd] (pre-tiled)
+    xa_v,
+    initial_tokens: jnp.ndarray,  # [B*K, P]
+    sot_index: int,
+    suppress_mask,
+    blank_mask,
+    opts_static: Dict[str, Any],
+):
+    bk, p = initial_tokens.shape
+    k_beams = opts_static["beam_size"]
+    b = bk // k_beams
+    v = dims.n_vocab
+    max_new = opts_static["max_tokens"]
+    eot = opts_static["eot"]
+    ts_begin = opts_static["ts_begin"]
+    timestamps = opts_static["timestamps"]
+
+    cache = KVCache.zeros(dims, bk, dtype=params["decoder"]["tok_emb"].dtype)
+    logits, cache = decoder_forward(params, dims, initial_tokens, xa_k, xa_v, cache)
+    sot_logits = logits[:, sot_index].astype(jnp.float32)
+    no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, opts_static["no_speech"]]
+    no_speech_prob = no_speech_prob.reshape(b, k_beams)[:, 0]
+
+    out_tokens = jnp.full((bk, max_new), eot, dtype=jnp.int32)
+    last = initial_tokens[:, -1]
+    penult = initial_tokens[:, -2] if p >= 2 else jnp.full((bk,), -1, jnp.int32)
+
+    # beam 0 active, others start at -inf so the first expansion fans out.
+    beam_lp = jnp.tile(
+        jnp.concatenate([jnp.zeros((1,)), jnp.full((k_beams - 1,), -1e9)])[None, :],
+        (b, 1),
+    ).reshape(bk)
+
+    def body(state):
+        (i, cache, out_tokens, last, penult, max_ts, done, beam_lp, prev_logits) = state
+
+        logprobs = jax.nn.log_softmax(prev_logits, axis=-1)  # [BK, V]
+        lp = jnp.where(suppress_mask[None, :] > 0, _NEG_INF, logprobs)
+        lp = jnp.where(
+            (i == 0) & opts_static["suppress_blank"],
+            jnp.where(blank_mask[None, :] > 0, _NEG_INF, lp),
+            lp,
+        )
+        if timestamps:
+            lp = _apply_timestamp_rules(
+                lp, last, penult, max_ts, i, ts_begin, eot,
+                opts_static["max_initial_ts_tok"],
+            )
+
+        # Finished beams contribute exactly one continuation: EOT at lp 0.
+        eot_onehot = jnp.where(jnp.arange(v)[None, :] == eot, 0.0, _NEG_INF)
+        lp = jnp.where(done[:, None], eot_onehot, lp)
+
+        total = beam_lp[:, None] + lp  # [BK, V]
+        total = total.reshape(b, k_beams * v)
+        top_lp, top_idx = jax.lax.top_k(total, k_beams)  # [B, K]
+        src_beam = top_idx // v  # [B, K] which beam it came from
+        next_tok = (top_idx % v).astype(jnp.int32)
+
+        # Gather/reorder everything by source beam (batch-local indices).
+        flat_src = (src_beam + jnp.arange(b)[:, None] * k_beams).reshape(bk)
+        out_tokens = out_tokens[flat_src]
+        done = done[flat_src]
+        max_ts = max_ts[flat_src]
+        last = last[flat_src]
+        cache = KVCache(
+            k=cache.k[:, flat_src], v=cache.v[:, flat_src], pos=cache.pos
+        )
+
+        next_tok = next_tok.reshape(bk)
+        beam_lp = top_lp.reshape(bk)
+
+        out_tokens = jax.lax.dynamic_update_slice_in_dim(
+            out_tokens, jnp.where(done, eot, next_tok)[:, None], i, axis=1
+        )
+        new_done = done | (next_tok == eot)
+        new_max_ts = jnp.where(
+            (next_tok >= ts_begin) & ~done, jnp.maximum(max_ts, next_tok), max_ts
+        )
+        penult_new = last
+        last_new = jnp.where(done, last, next_tok)
+
+        step_tok = jnp.where(done, eot, next_tok)
+        logits, cache = decoder_forward(
+            params, dims, step_tok[:, None], xa_k, xa_v, cache
+        )
+        return (
+            i + 1, cache, out_tokens, last_new, penult_new, new_max_ts,
+            new_done, beam_lp, logits[:, -1].astype(jnp.float32),
+        )
+
+    def cond(state):
+        i, _, _, _, _, _, done, _, _ = state
+        return (i < max_new) & ~jnp.all(done)
+
+    state = (
+        jnp.asarray(0, jnp.int32), cache, out_tokens, last, penult,
+        jnp.zeros((bk,), jnp.int32), jnp.zeros((bk,), bool), beam_lp,
+        logits[:, -1].astype(jnp.float32),
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    (_, _, out_tokens, _, _, _, _, beam_lp, _) = state
+    return out_tokens, beam_lp, no_speech_prob
+
+
+@partial(jax.jit, static_argnames=("dims", "sot_index", "opts_key"))
+def _beam_jit(
+    params, dims, xa_k, xa_v, initial_tokens, sot_index,
+    suppress_mask, blank_mask, opts_key,
+):
+    return _beam_loop(
+        params, dims, xa_k, xa_v, initial_tokens, sot_index,
+        suppress_mask, blank_mask, dict(opts_key),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+def decode_windows(
+    params,
+    dims: WhisperDims,
+    tokenizer: WhisperTokenizer,
+    mel: jnp.ndarray,  # [B, n_mels, 3000]
+    opts: DecodeOptions,
+    rng: Optional[jnp.ndarray] = None,
+) -> DecodeResult:
+    """Encode + decode a batch of 30 s mel windows. Returns host arrays."""
+    xa = encoder_forward(params, dims, mel)
+    xa_k, xa_v = cross_kv(params, dims, xa)
+
+    sot_seq = tokenizer.sot_sequence(opts.language, opts.task, opts.timestamps)
+    prefix = list(opts.prompt_tokens)
+    if prefix:
+        prefix = [tokenizer.sot_prev] + prefix
+    initial = prefix + sot_seq
+    sot_index = len(initial) - len(sot_seq)  # position of SOT in the prompt
+
+    b = mel.shape[0]
+    suppress_mask, blank_mask = _build_filter_tables(tokenizer, opts, dims.n_vocab)
+
+    max_initial_ts_tok = tokenizer.timestamp_begin + int(
+        round(opts.max_initial_timestamp / 0.02)
+    )
+    opts_key = tuple(
+        sorted(
+            {
+                "max_tokens": opts.max_tokens,
+                "eot": tokenizer.eot,
+                "ts_begin": tokenizer.timestamp_begin,
+                "no_speech": tokenizer.no_speech,
+                "timestamps": opts.timestamps,
+                "temperature": float(opts.temperature),
+                "suppress_blank": opts.suppress_blank,
+                "max_initial_ts_tok": max_initial_ts_tok,
+                "beam_size": opts.beam_size,
+            }.items()
+        )
+    )
+
+    if opts.beam_size > 1 and opts.temperature == 0.0:
+        k = opts.beam_size
+        init = jnp.tile(jnp.asarray(initial, jnp.int32)[None], (b * k, 1))
+        xa_k_t = jnp.repeat(xa_k, k, axis=1)
+        xa_v_t = jnp.repeat(xa_v, k, axis=1)
+        tokens, sum_lp, ns_prob = _beam_jit(
+            params, dims, xa_k_t, xa_v_t, init, sot_index,
+            suppress_mask, blank_mask, opts_key,
+        )
+        tokens = np.asarray(tokens).reshape(b, k, -1)
+        sum_lp = np.asarray(sum_lp).reshape(b, k)
+        lengths = (tokens != tokenizer.eot).sum(axis=-1)
+        # length-normalised selection (whisper's default total/length)
+        norm = sum_lp / np.maximum(lengths, 1)
+        best = norm.argmax(axis=1)
+        tokens = tokens[np.arange(b), best]
+        sum_lp = sum_lp[np.arange(b), best]
+        ns_prob = np.asarray(ns_prob)
+    else:
+        init = jnp.tile(jnp.asarray(initial, jnp.int32)[None], (b, 1))
+        tokens, sum_lp, ns_prob = _greedy_jit(
+            params, dims, xa_k, xa_v, init, sot_index,
+            suppress_mask, blank_mask, opts_key,
+            rng if rng is not None else jax.random.PRNGKey(0),
+        )
+        tokens = np.asarray(tokens)
+        sum_lp = np.asarray(sum_lp)
+        ns_prob = np.asarray(ns_prob)
+
+    lengths = (tokens != tokenizer.eot).sum(axis=-1).astype(np.int64)
+    avg = sum_lp / np.maximum(lengths + 1, 1)  # +1 for EOT, as whisper does
+    return DecodeResult(
+        tokens=tokens.astype(np.int32),
+        lengths=lengths,
+        sum_logprobs=sum_lp.astype(np.float32),
+        avg_logprobs=avg.astype(np.float32),
+        no_speech_probs=ns_prob.astype(np.float32),
+    )

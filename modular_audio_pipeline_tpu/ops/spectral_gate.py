@@ -39,16 +39,40 @@ def amp_to_db(x: jnp.ndarray, top_db: float = 80.0) -> jnp.ndarray:
     return jnp.maximum(db, jnp.max(db) - top_db)
 
 
-def _triangle_kernel(n_freq: int, n_time: int) -> np.ndarray:
-    """Separable, normalised triangle smoothing kernel."""
-    def tri(n: int) -> np.ndarray:
-        if n <= 1:
-            return np.ones(1, dtype=np.float32)
-        ramp = np.concatenate([np.linspace(0, 1, n + 1)[1:], np.linspace(1, 0, n + 1)[1:-1]])
-        return ramp.astype(np.float32)
+def _box_filter(x: jnp.ndarray, n: int, axis: int) -> jnp.ndarray:
+    """Zero-padded 'same' box filter of length ``n`` via cumulative sums.
 
-    k = np.outer(tri(n_freq), tri(n_time))
-    return (k / k.sum()).astype(np.float32)
+    Written this way deliberately: a single-channel 2-D convolution (or an
+    odd-shaped matmul) takes tens of seconds to compile on the TPU
+    backend, while cumsum/slice lowers instantly and is memory-bound.
+    """
+    if n <= 1:
+        return x
+    x = jnp.moveaxis(x, axis, -1)
+    t = x.shape[-1]
+    cs = jnp.cumsum(x, axis=-1)
+    cs = jnp.concatenate([jnp.zeros_like(cs[..., :1]), cs], axis=-1)  # [.., t+1]
+    left = n // 2  # taps to the left of center for odd n
+    idx_hi = np.minimum(np.arange(t) + (n - left), t)
+    idx_lo = np.maximum(np.arange(t) - left, 0)
+    out = cs[..., idx_hi] - cs[..., idx_lo]
+    return jnp.moveaxis(out, -1, axis)
+
+
+def _smooth_mask(mask: jnp.ndarray, n_freq: int, n_time: int) -> jnp.ndarray:
+    """Separable triangle smoothing (box*box per axis), normalised.
+
+    Equivalent to convolving with the normalised outer product of two
+    triangles of lengths ``2*n_freq-1`` and ``2*n_time-1`` (noisereduce's
+    smoothing kernel), zero-padded at the edges.
+    """
+    out = mask
+    norm_const = 1.0
+    for n, axis in ((n_freq, 0), (n_time, 1)):
+        if n > 1:
+            out = _box_filter(_box_filter(out, n, axis), n, axis)
+            norm_const *= float(n * n)
+    return out / norm_const
 
 
 @partial(
@@ -87,14 +111,7 @@ def spectral_gate_stationary(
     # Smooth the binary mask (separable triangle, 'same' padding).
     n_freq = max(1, int(freq_mask_smooth_hz / (sr / n_fft)))
     n_time = max(1, int(time_mask_smooth_ms / 1000.0 * (sr / hop)))
-    if n_freq > 1 or n_time > 1:
-        kernel = jnp.asarray(_triangle_kernel(n_freq, n_time))
-        mask = jax.lax.conv_general_dilated(
-            mask[None, None],  # NCHW
-            kernel[None, None],
-            window_strides=(1, 1),
-            padding="SAME",
-        )[0, 0]
+    mask = _smooth_mask(mask, n_freq, n_time)
 
     gain = mask * prop_decrease + (1.0 - prop_decrease)
     denoised_stft = sig_stft * gain.astype(sig_stft.dtype)

@@ -1,0 +1,250 @@
+"""Audio preprocessor: denoise, normalize, loudness, silence removal.
+
+Protocol-compatible with the reference ``AudioPreprocessor``
+(``/root/reference/audio_pipeline/preprocessor.py:35-405``): same methods,
+same WAV-path-in/WAV-path-out signatures, same output filenames
+(``*_denoised.wav``, ``*_norm.wav``, ``*_loudnorm.wav``,
+``*_nosilence.wav``), same tuned constants. The compute is our TPU kernel
+layer (:mod:`.ops`) instead of noisereduce/pydub/pyloudnorm:
+
+- noise reduction  -> ops.spectral_gate (+ ops.noise_detect auto-profiling)
+- peak normalize   -> ops.dynamics.peak_normalize
+- loudness         -> ops.loudness (BS.1770 via associative-scan biquads)
+- silence removal  -> ops.silence (pydub-exact semantics + crossfade)
+
+Each method is also available in array form (``*_array``) so the
+orchestrator can chain device-resident audio without touching disk; the
+path methods are thin adapters that keep DI compatibility with code
+written against the reference.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .audio_io import read_wav, resample_poly, write_wav
+from .config import NoiseReductionConfig, PipelineConfig
+from .exceptions import AudioProcessingError
+from .protocols import PreprocessorProtocol, TimestampMapping
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["AudioPreprocessor"]
+
+
+class AudioPreprocessor(PreprocessorProtocol):
+    """Denoise / normalize / silence-strip with timestamp preservation."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        temp_dir: str,
+        noise_config: Optional[NoiseReductionConfig] = None,
+    ):
+        self.sample_rate = sample_rate
+        self.temp_dir = temp_dir
+        self.noise_config = noise_config or NoiseReductionConfig()
+        os.makedirs(temp_dir, exist_ok=True)
+
+    @classmethod
+    def from_config(cls, config: PipelineConfig) -> "AudioPreprocessor":
+        return cls(
+            sample_rate=config.audio.sample_rate,
+            temp_dir=config.temp_dir,
+            noise_config=config.noise_reduction,
+        )
+
+    # -- WAV plumbing (reference protocol helpers) --------------------------
+
+    def read_wave(self, path: str) -> Tuple[bytes, int]:
+        """Raw PCM16 bytes + sample rate (reference helper parity)."""
+        samples, sr = read_wav(path)
+        pcm = np.clip(samples * 32768.0, -32768, 32767).astype(np.int16).tobytes()
+        return pcm, sr
+
+    def write_wave(self, path: str, audio: bytes, sample_rate: int) -> None:
+        samples = np.frombuffer(audio, dtype=np.int16).astype(np.float32) / 32768.0
+        write_wav(path, samples, sample_rate)
+
+    def _out_path(self, input_wav: str, suffix: str) -> str:
+        return os.path.join(self.temp_dir, f"{Path(input_wav).stem}_{suffix}.wav")
+
+    # -- noise reduction -----------------------------------------------------
+
+    def reduce_stationary_noise_array(
+        self, audio: np.ndarray, sr: int, noise_clip: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from .ops.noise_detect import detect_noise_segments
+        from .ops.spectral_gate import spectral_gate_stationary
+
+        if noise_clip is None:
+            if self.noise_config.auto_detect_noise:
+                segments = detect_noise_segments(audio, sr)
+                if segments:
+                    longest = max(segments, key=lambda s: s[1] - s[0])
+                    noise_clip = audio[longest[0] : longest[1]]
+                    logger.info(
+                        "Auto-detected noise segment: %.2fs - %.2fs",
+                        longest[0] / sr, longest[1] / sr,
+                    )
+                else:
+                    n = int(sr * self.noise_config.noise_sample_duration_s)
+                    noise_clip = audio[:n]
+                    logger.warning(
+                        "No noise segments detected, using first %.1fs as noise profile",
+                        self.noise_config.noise_sample_duration_s,
+                    )
+            else:
+                n = int(sr * self.noise_config.noise_sample_duration_s)
+                noise_clip = audio[:n]
+
+        if len(noise_clip) < 1024:  # too short for a stable spectral profile
+            logger.warning("Noise profile too short (%d samples); skipping", len(noise_clip))
+            return audio
+
+        out = spectral_gate_stationary(
+            jnp.asarray(audio), jnp.asarray(noise_clip), sr,
+            prop_decrease=self.noise_config.prop_decrease,
+        )
+        return np.asarray(out, dtype=np.float32)
+
+    def reduce_stationary_noise(
+        self, input_wav: str, noise_sample_path: Optional[str] = None
+    ) -> str:
+        if not self.noise_config.enabled:
+            logger.info("Noise reduction disabled, skipping")
+            return input_wav
+        try:
+            audio, sr = read_wav(input_wav)
+            noise_clip = None
+            if noise_sample_path:
+                noise_clip, _ = read_wav(noise_sample_path)
+                logger.info("Using provided noise sample: %s", noise_sample_path)
+            elif self.noise_config.noise_sample_path:
+                noise_clip, _ = read_wav(self.noise_config.noise_sample_path)
+            reduced = self.reduce_stationary_noise_array(audio, sr, noise_clip)
+        except AudioProcessingError:
+            raise
+        except Exception as exc:
+            raise AudioProcessingError("Noise reduction failed", details=str(exc))
+
+        out_path = self._out_path(input_wav, "denoised")
+        write_wav(out_path, reduced, sr)
+        logger.info("Noise reduced: %s", out_path)
+        return out_path
+
+    # -- peak normalization ----------------------------------------------------
+
+    def normalize_audio_array(self, audio: np.ndarray, sr: int) -> Tuple[np.ndarray, int]:
+        import jax.numpy as jnp
+
+        from .ops.dynamics import peak_normalize
+
+        if sr != self.sample_rate:
+            audio = resample_poly(audio, sr, self.sample_rate)
+            sr = self.sample_rate
+        out = np.asarray(peak_normalize(jnp.asarray(audio)), dtype=np.float32)
+        return out, sr
+
+    def normalize_audio(self, input_wav: str) -> str:
+        try:
+            audio, sr = read_wav(input_wav)  # also folds to mono
+            out, sr = self.normalize_audio_array(audio, sr)
+            out_path = self._out_path(input_wav, "norm")
+            write_wav(out_path, out, sr)
+            logger.info("Audio normalized: %s", out_path)
+            return out_path
+        except Exception as exc:
+            raise AudioProcessingError("Audio normalization failed", details=str(exc))
+
+    # -- loudness ---------------------------------------------------------------
+
+    def normalize_loudness_array(
+        self, audio: np.ndarray, sr: int, target_lufs: float = -16.0
+    ) -> Tuple[np.ndarray, bool]:
+        """Returns (audio, changed). Skips silent audio like the reference."""
+        import jax.numpy as jnp
+
+        from .ops.loudness import integrated_loudness, normalize_loudness
+
+        lufs = float(integrated_loudness(jnp.asarray(audio), sr))
+        if not np.isfinite(lufs) or lufs < -70:
+            logger.warning("Audio is too quiet for LUFS normalization, skipping")
+            return audio, False
+        out = normalize_loudness(jnp.asarray(audio), jnp.asarray(lufs), target_lufs)
+        return np.asarray(out, dtype=np.float32), True
+
+    def normalize_loudness(self, input_wav: str, target_lufs: float = -16.0) -> str:
+        try:
+            audio, sr = read_wav(input_wav)
+            out, changed = self.normalize_loudness_array(audio, sr, target_lufs)
+            if not changed:
+                return input_wav
+            out_path = self._out_path(input_wav, "loudnorm")
+            write_wav(out_path, out, self.sample_rate if sr == self.sample_rate else sr)
+            logger.info("Loudness normalized to %s LUFS: %s", target_lufs, out_path)
+            return out_path
+        except Exception as exc:
+            raise AudioProcessingError("Loudness normalization failed", details=str(exc))
+
+    # -- silence -----------------------------------------------------------------
+
+    def remove_silence(
+        self,
+        input_wav: str,
+        min_silence_len: int = 250,
+        silence_offset_db: float = 40.0,
+        silence_margin: int = 100,
+        preserve_timestamps: bool = True,
+    ) -> Tuple[str, List[TimestampMapping]]:
+        from .ops.silence import remove_silence as _remove
+
+        try:
+            audio, sr = read_wav(input_wav)
+            out, mappings, changed = _remove(
+                audio, sr,
+                min_silence_len=min_silence_len,
+                silence_offset_db=silence_offset_db,
+                silence_margin_ms=silence_margin,
+                preserve_timestamps=preserve_timestamps,
+            )
+            if not changed:
+                logger.warning("No non-silent segments found, returning original")
+                return input_wav, []
+
+            out_path = self._out_path(input_wav, "nosilence")
+            write_wav(out_path, out, sr)
+
+            original_duration = len(audio) / sr
+            processed_duration = len(out) / sr
+            removed = original_duration - processed_duration
+            logger.info(
+                "Silence removed: %s (removed %.1fs, %.1f%%)",
+                out_path, removed, removed / max(original_duration, 1e-9) * 100,
+            )
+            return out_path, mappings
+        except Exception as exc:
+            raise AudioProcessingError("Silence removal failed", details=str(exc))
+
+    def detect_silence_segments(
+        self,
+        input_wav: str,
+        min_silence_len: int = 500,
+        silence_offset_db: float = 40.0,
+    ) -> List[Tuple[float, float]]:
+        import jax.numpy as jnp
+
+        from .ops.dynamics import dbfs
+        from .ops.silence import detect_silence_ranges
+
+        audio, sr = read_wav(input_wav)
+        thresh = float(dbfs(jnp.asarray(audio))) - silence_offset_db
+        ranges = detect_silence_ranges(audio, sr, min_silence_len, thresh)
+        return [(s / 1000.0, e / 1000.0) for s, e in ranges]

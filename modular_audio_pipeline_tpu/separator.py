@@ -1,0 +1,157 @@
+"""Vocal separation component (protocol layer).
+
+Mirrors the reference ``VocalSeparator``
+(``/root/reference/audio_pipeline/separator.py:32-340``): the same
+energy-CV music auto-detection, the same 5-minute chunked processing with
+per-chunk checkpoint exports and final checkpoint, the same NoOp variant —
+but the separation itself is our in-process JAX REPET backend instead of a
+Demucs subprocess (no process boundary, no model download).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from .audio_io import read_wav, write_wav
+from .config import PipelineConfig
+from .exceptions import VocalSeparationError
+from .protocols import VocalSeparatorProtocol
+from .utils import CheckpointManager
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["VocalSeparator", "NoOpVocalSeparator"]
+
+
+class VocalSeparator(VocalSeparatorProtocol):
+    """REPET-based vocal isolation with chunking + checkpoint/resume."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        temp_dir: str,
+        model: str = "htdemucs",
+        chunk_minutes: float = 5.0,
+        timeout_s: int = 600,
+        checkpoint_manager: Optional[CheckpointManager] = None,
+    ):
+        self.sample_rate = sample_rate
+        self.temp_dir = temp_dir
+        self.model = model  # kept for config parity; selects backend later
+        self.chunk_minutes = chunk_minutes
+        self.timeout_s = timeout_s
+        self.checkpoint_manager = checkpoint_manager
+        os.makedirs(temp_dir, exist_ok=True)
+
+    @classmethod
+    def from_config(
+        cls,
+        config: PipelineConfig,
+        checkpoint_manager: Optional[CheckpointManager] = None,
+    ) -> "VocalSeparator":
+        return cls(
+            sample_rate=config.audio.sample_rate,
+            temp_dir=config.temp_dir,
+            model=config.vocal_separation.model,
+            chunk_minutes=config.vocal_separation.chunk_minutes,
+            timeout_s=config.subprocess_timeout_s,
+            checkpoint_manager=checkpoint_manager,
+        )
+
+    # -- detection ---------------------------------------------------------
+
+    def _analyze_audio_content(self, input_wav: str) -> dict:
+        from .ops.music import analyze_audio_content
+
+        try:
+            audio, sr = read_wav(input_wav)
+            result = analyze_audio_content(audio, sr)
+            logger.info("Audio analysis: %s", result)
+            return result
+        except Exception as exc:
+            logger.warning("Audio analysis failed: %s, assuming no music", exc)
+            return {
+                "has_music": False,
+                "confidence": 0.0,
+                "reason": f"Analysis failed: {exc}",
+            }
+
+    def is_separation_needed(self, input_wav: str) -> bool:
+        analysis = self._analyze_audio_content(input_wav)
+        return analysis.get("has_music", False) and analysis.get("confidence", 0) > 0.5
+
+    # -- separation -----------------------------------------------------------
+
+    def _process_chunk(self, chunk: np.ndarray, sr: int, chunk_index: int) -> np.ndarray:
+        from .models.separation.repet import repet_separate
+
+        try:
+            vocals, _ = repet_separate(chunk, sr)
+            return vocals
+        except Exception as exc:
+            raise VocalSeparationError(
+                f"Separation failed on chunk {chunk_index}", details=str(exc)
+            )
+
+    def extract_vocals(self, input_wav: str, force: bool = False) -> str:
+        if not force and not self.is_separation_needed(input_wav):
+            logger.info("Vocal separation not needed, skipping")
+            return input_wav
+
+        # Resume from checkpoint if the input is unchanged.
+        if self.checkpoint_manager:
+            ckpt = self.checkpoint_manager.get_checkpoint("vocal_separation", input_wav)
+            if ckpt and os.path.exists(ckpt.output_file):
+                logger.info("Using cached vocals from checkpoint: %s", ckpt.output_file)
+                return ckpt.output_file
+
+        audio, sr = read_wav(input_wav)
+        chunk_samples = int(self.chunk_minutes * 60 * sr)
+        n_chunks = max(1, int(np.ceil(len(audio) / chunk_samples)))
+
+        pieces = []
+        for chunk_index in range(n_chunks):
+            start = chunk_index * chunk_samples
+            chunk = audio[start : start + chunk_samples]
+            pieces.append(self._process_chunk(chunk, sr, chunk_index))
+
+            # Partial export so an interrupted long run can be inspected /
+            # resumed (reference parity: separator.py:289-295).
+            if self.checkpoint_manager and chunk_index > 0:
+                partial_path = os.path.join(
+                    self.temp_dir, f"{Path(input_wav).stem}_vocals_partial.wav"
+                )
+                write_wav(partial_path, np.concatenate(pieces), sr)
+
+            logger.info("Processed chunk %d/%d", chunk_index + 1, n_chunks)
+
+        vocals = np.concatenate(pieces)
+        out_path = os.path.join(self.temp_dir, f"{Path(input_wav).stem}_vocals.wav")
+        write_wav(out_path, vocals, sr)
+
+        if self.checkpoint_manager:
+            self.checkpoint_manager.save_checkpoint(
+                step_name="vocal_separation",
+                input_file=input_wav,
+                output_file=out_path,
+                metadata={"model": self.model, "chunks": n_chunks},
+            )
+
+        logger.info("Vocals extracted: %s", out_path)
+        return out_path
+
+
+class NoOpVocalSeparator(VocalSeparatorProtocol):
+    """Pass-through separator used when separation is disabled."""
+
+    def extract_vocals(self, input_wav: str) -> str:
+        logger.debug("NoOp vocal separator: passing through unchanged")
+        return input_wav
+
+    def is_separation_needed(self, input_wav: str) -> bool:
+        return False

@@ -1,0 +1,513 @@
+"""Speech-to-text transcribers backed by the JAX Whisper stack.
+
+Public surface mirrors the reference
+(``/root/reference/audio_pipeline/transcriber.py``): two classes —
+``WhisperTranscriber`` and ``FasterWhisperTranscriber`` — with the same
+constructor signatures, ``from_config``, lazy loading,
+``load_model``/``unload_model``/``is_loaded``, retry on transient errors,
+and the same result dict shape::
+
+    {"text": str, "segments": [{"start","end","text","confidence"}, ...],
+     "language": str, "duration": float}
+
+Both classes run the same TPU-native backend (mel frontend -> encoder ->
+KV-cached batched decode); ``FasterWhisperTranscriber`` keeps the
+reference's extra semantics (built-in VAD gating, device fallback chain —
+here TPU -> CPU instead of CUDA -> CPU -> openai-whisper).
+
+Long audio is transcribed by batching 30 s windows across the device
+(sharded across chips by the parallel layer), replacing the reference's
+sequential seek loop; window-relative timestamp tokens are re-based onto
+the file timeline.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from .audio_io import read_wav, resample_poly
+from .config import PipelineConfig, RetryConfig
+from .exceptions import ModelLoadError, TranscriptionError
+from .models.whisper.config import MODEL_INFO, WHISPER_DIMS, WhisperDims
+from .models.whisper.decode import DecodeOptions, decode_windows
+from .models.whisper.model import init_params
+from .models.whisper.tokenizer import WhisperTokenizer, load_tokenizer
+from .utils import retry_with_backoff
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["WhisperTranscriber", "FasterWhisperTranscriber", "JaxWhisperBackend"]
+
+_WINDOW_S = 30.0
+_SR = 16000
+_BATCH_BUCKETS = (1, 2, 4, 8, 16)
+
+
+def default_weights_dir(model_name: str) -> str:
+    root = os.environ.get(
+        "MAP_TPU_WEIGHTS", os.path.join(os.path.expanduser("~"), ".cache", "map_tpu")
+    )
+    return os.path.join(root, f"whisper-{model_name}")
+
+
+class JaxWhisperBackend:
+    """Shared engine: params + tokenizer + batched window decoding."""
+
+    def __init__(
+        self,
+        model_name: str,
+        language: str = "en",
+        task: str = "transcribe",
+        temperature: float = 0.0,
+        beam_size: int = 5,
+        prompt: str = "",
+        weights_path: Optional[str] = None,
+        compute_dtype: str = "bfloat16",
+        batch_size: int = 16,
+        max_decode_tokens: int = 224,
+        timestamps: bool = True,
+    ):
+        if model_name not in WHISPER_DIMS:
+            raise ModelLoadError(f"Unknown Whisper model: {model_name}")
+        self.model_name = model_name
+        self.dims: WhisperDims = WHISPER_DIMS[model_name]
+        self.language = language
+        self.task = task
+        self.temperature = temperature
+        self.beam_size = beam_size
+        self.prompt = prompt or ""
+        self.weights_path = weights_path
+        self.compute_dtype = compute_dtype
+        self.batch_size = batch_size
+        self.max_decode_tokens = max_decode_tokens
+        self.timestamps = timestamps
+
+        self.params = None
+        self.tokenizer: Optional[WhisperTokenizer] = None
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def load(self) -> None:
+        if self.params is not None:
+            return
+        import jax.numpy as jnp
+
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}.get(
+            self.compute_dtype, jnp.bfloat16
+        )
+        path = self.weights_path or default_weights_dir(self.model_name)
+
+        if str(path).startswith("random"):
+            seed = int(str(path).partition(":")[2] or 0)
+            logger.warning(
+                "Initialising %s with RANDOM weights (seed %d) — test/bench mode",
+                self.model_name, seed,
+            )
+            self.params = init_params(self.dims, seed=seed, dtype=dtype)
+            self.tokenizer = load_tokenizer(None, n_vocab=self.dims.n_vocab)
+            return
+
+        if Path(path, "params.npz").exists():
+            from .models.whisper.convert import load_params
+
+            import jax
+
+            host = load_params(path, dtype=self.compute_dtype)
+            self.params = jax.tree.map(jnp.asarray, host)
+            self.tokenizer = load_tokenizer(path, n_vocab=self.dims.n_vocab)
+            logger.info("Loaded Whisper %s from %s", self.model_name, path)
+            return
+
+        if os.environ.get("MAP_TPU_ALLOW_RANDOM_WEIGHTS") == "1":
+            logger.warning(
+                "No checkpoint at %s; falling back to random weights "
+                "(MAP_TPU_ALLOW_RANDOM_WEIGHTS=1)", path,
+            )
+            self.params = init_params(self.dims, seed=0, dtype=dtype)
+            self.tokenizer = load_tokenizer(None, n_vocab=self.dims.n_vocab)
+            return
+
+        raise ModelLoadError(
+            f"No converted Whisper checkpoint for '{self.model_name}'",
+            details=(
+                f"Expected params.npz under {path}. Convert one offline with:\n"
+                "  python -m modular_audio_pipeline_tpu.models.whisper.convert "
+                f"--src <hf-or-openai-ckpt> --dst {path} --model {self.model_name}"
+            ),
+        )
+
+    def unload(self) -> None:
+        self.params = None  # device buffers freed by GC
+
+    # -- audio -> windows ---------------------------------------------------
+
+    @staticmethod
+    def _windows(audio: np.ndarray) -> np.ndarray:
+        """Pad to a whole number of 30 s windows -> [n_windows, 480000]."""
+        win = int(_WINDOW_S * _SR)
+        n = max(1, int(np.ceil(len(audio) / win)))
+        padded = np.zeros(n * win, dtype=np.float32)
+        padded[: len(audio)] = audio
+        return padded.reshape(n, win)
+
+    def _prompt_tokens(self) -> tuple:
+        if not self.prompt or self.tokenizer is None:
+            return ()
+        ids = self.tokenizer.encode(" " + self.prompt.strip())
+        # whisper caps the conditioning prompt at half the text context
+        return tuple(ids[-(self.dims.n_text_ctx // 2 - 1):])
+
+    # -- decoding ------------------------------------------------------------
+
+    def transcribe_array(self, audio: np.ndarray, sr: int) -> Dict[str, Any]:
+        import jax.numpy as jnp
+
+        from .ops.mel import log_mel
+
+        self.load()
+        if sr != _SR:
+            audio = resample_poly(audio, sr, _SR)
+        duration = len(audio) / _SR
+        windows = self._windows(audio)
+        n_win = windows.shape[0]
+
+        opts = DecodeOptions(
+            language=self.language,
+            task=self.task,
+            beam_size=self.beam_size,
+            temperature=self.temperature,
+            max_tokens=self.max_decode_tokens,
+            timestamps=self.timestamps,
+            prompt_tokens=self._prompt_tokens(),
+        )
+
+        segments: List[Dict[str, Any]] = []
+        texts: List[str] = []
+
+        for start in range(0, n_win, self.batch_size):
+            batch = windows[start : start + self.batch_size]
+            b = batch.shape[0]
+            # Bucket the batch dim so jit compiles a bounded set of shapes.
+            bucket = next((c for c in _BATCH_BUCKETS if c >= b), self.batch_size)
+            if bucket > b:
+                batch = np.concatenate(
+                    [batch, np.zeros((bucket - b, batch.shape[1]), np.float32)]
+                )
+            mel = log_mel(jnp.asarray(batch), n_mels=self.dims.n_mels)
+            result = decode_windows(
+                self.params, self.dims, self.tokenizer, mel, opts
+            )
+            for i in range(b):
+                offset = (start + i) * _WINDOW_S
+                win_dur = min(_WINDOW_S, duration - offset)
+                segs = self._parse_window(
+                    result.tokens[i], float(result.avg_logprobs[i]), offset, win_dur
+                )
+                segments.extend(segs)
+                texts.extend(s["text"] for s in segs)
+
+        return {
+            "text": " ".join(t for t in texts if t),
+            "segments": segments,
+            "language": self.language,
+            "duration": duration,
+        }
+
+    def _parse_window(
+        self, tokens: np.ndarray, avg_logprob: float, offset: float, win_dur: float
+    ) -> List[Dict[str, Any]]:
+        """Timestamp-token grammar -> segment dicts on the file timeline."""
+        tok = self.tokenizer
+        eot = tok.eot
+        segs: List[Dict[str, Any]] = []
+
+        if not self.timestamps:
+            ids = [int(t) for t in tokens if int(t) != eot and not tok.is_timestamp(int(t))]
+            text = tok.decode(ids).strip()
+            if text:
+                segs.append(
+                    {
+                        "start": round(offset, 3),
+                        "end": round(offset + win_dur, 3),
+                        "text": text,
+                        "confidence": avg_logprob,
+                    }
+                )
+            return segs
+
+        cur_start: Optional[float] = None
+        cur_text: List[int] = []
+        for t in tokens:
+            t = int(t)
+            if t == eot:
+                break
+            if tok.is_timestamp(t):
+                ts = tok.timestamp_to_seconds(t)
+                if cur_start is not None and cur_text:
+                    segs.append((cur_start, ts, cur_text))
+                    cur_text = []
+                    cur_start = None
+                else:
+                    cur_start = ts
+            else:
+                cur_text.append(t)
+        if cur_start is not None and cur_text:
+            segs.append((cur_start, min(_WINDOW_S, win_dur), cur_text))
+
+        out = []
+        for s, e, ids in segs:
+            if s >= win_dur:
+                continue
+            text = tok.decode(ids).strip()
+            if not text:
+                continue
+            out.append(
+                {
+                    "start": round(offset + s, 3),
+                    "end": round(offset + min(e, win_dur), 3),
+                    "text": text,
+                    "confidence": avg_logprob,
+                }
+            )
+        return out
+
+
+class WhisperTranscriber:
+    """Reference-compatible transcriber (openai-whisper backend analog).
+
+    Constructor signature and behaviours match transcriber.py:82-113 of the
+    reference, including the MODEL_INFO capability table, lazy loading and
+    retry on transient runtime errors.
+    """
+
+    MODEL_INFO = MODEL_INFO
+
+    def __init__(
+        self,
+        model_name: str = "large-v3-turbo",
+        language: str = "pt",
+        prompt: str = "",
+        task: str = "transcribe",
+        temperature: float = 0.0,
+        beam_size: int = 5,
+        lazy_load: bool = True,
+        weights_path: Optional[str] = None,
+        batch_size: int = 16,
+    ) -> None:
+        self.model_name = model_name
+        self.language = language
+        self.prompt = prompt
+        self.task = task
+        self.temperature = temperature
+        self.beam_size = beam_size
+
+        if model_name not in self.MODEL_INFO and model_name in WHISPER_DIMS:
+            logger.info("Using non-standard model: %s", model_name)
+        elif model_name not in WHISPER_DIMS:
+            logger.warning("Unknown model: %s. Proceeding anyway.", model_name)
+        else:
+            info = self.MODEL_INFO[model_name]
+            logger.info(
+                "Whisper model: %s (%s params, ~%dGB HBM)",
+                model_name, info["params"], info["vram_gb"],
+            )
+
+        self._backend = JaxWhisperBackend(
+            model_name=model_name if model_name in WHISPER_DIMS else "tiny",
+            language=language,
+            task=task,
+            temperature=temperature,
+            beam_size=beam_size,
+            prompt=prompt,
+            weights_path=weights_path,
+            batch_size=batch_size,
+        )
+        if not lazy_load:
+            self.load_model()
+
+    @classmethod
+    def from_config(cls, config: PipelineConfig) -> "WhisperTranscriber":
+        return cls(
+            model_name=config.transcription.model,
+            language=config.transcription.language,
+            prompt=config.transcription.prompt or "",
+            task=config.transcription.task,
+            temperature=config.transcription.temperature,
+            beam_size=config.transcription.beam_size,
+            lazy_load=config.lazy_load_models,
+            weights_path=config.transcription.weights_path,
+            batch_size=config.transcription.batch_size,
+        )
+
+    def is_loaded(self) -> bool:
+        return self._backend.params is not None
+
+    def load_model(self) -> None:
+        self._backend.load()
+
+    def unload_model(self) -> None:
+        if self.is_loaded():
+            self._backend.unload()
+            logger.info("Whisper model unloaded")
+
+    @retry_with_backoff(
+        config=RetryConfig(max_attempts=2, initial_delay_s=2.0),
+        exceptions=(RuntimeError,),
+    )
+    def transcribe(self, input_wav: str) -> Dict[str, Any]:
+        logger.info("Transcribing: %s", input_wav)
+        try:
+            audio, sr = read_wav(input_wav)
+            result = self._backend.transcribe_array(audio, sr)
+        except (RuntimeError,):
+            raise
+        except Exception as exc:
+            raise TranscriptionError(
+                f"Transcription failed for: {input_wav}", details=str(exc)
+            )
+        logger.info(
+            "Transcription complete: %d segments, %d chars",
+            len(result["segments"]), len(result["text"]),
+        )
+        return result
+
+    def transcribe_with_options(self, input_wav: str, **kwargs) -> Dict[str, Any]:
+        """Per-call option overrides (language/task/temperature/beam_size...)."""
+        saved = {}
+        backend = self._backend
+        for key, val in kwargs.items():
+            name = {"initial_prompt": "prompt"}.get(key, key)
+            if hasattr(backend, name):
+                saved[name] = getattr(backend, name)
+                setattr(backend, name, val)
+        try:
+            audio, sr = read_wav(input_wav)
+            return backend.transcribe_array(audio, sr)
+        except Exception as exc:
+            raise TranscriptionError("Transcription failed", details=str(exc))
+        finally:
+            for name, val in saved.items():
+                setattr(backend, name, val)
+
+
+class FasterWhisperTranscriber:
+    """Optimised transcriber with device fallback (reference parity:
+    transcriber.py:291-553, minus the CUDA-specific DLL recovery).
+
+    The reference's ``vad_filter=True`` (built-in Silero) is reproduced by
+    running our energy VAD over the audio before windowing, so silent
+    stretches never reach the decoder.
+    """
+
+    def __init__(
+        self,
+        model_name: str = "large-v3",
+        device: str = "tpu",
+        compute_type: str = "bfloat16",
+        beam_size: int = 5,
+        language: str = "pt",
+        lazy_load: bool = True,
+        weights_path: Optional[str] = None,
+        batch_size: int = 16,
+        vad_filter: bool = True,
+    ):
+        self.model_name = model_name
+        self.device = device
+        self.compute_type = compute_type
+        self.beam_size = beam_size
+        self.language = language
+        self.vad_filter = vad_filter
+
+        compute = "float32" if compute_type in ("float32", "int8") else "bfloat16"
+        self._backend = JaxWhisperBackend(
+            model_name=model_name,
+            language=language,
+            beam_size=beam_size,
+            weights_path=weights_path,
+            compute_dtype=compute,
+            batch_size=batch_size,
+        )
+        if not lazy_load:
+            self.load_model()
+
+    @classmethod
+    def from_config(cls, config: PipelineConfig) -> "FasterWhisperTranscriber":
+        compute_type = config.transcription.compute_type
+        if compute_type == "float16":  # CUDA-ism: map to bf16 on TPU
+            compute_type = "bfloat16"
+        return cls(
+            model_name=config.transcription.model,
+            device=config.transcription.device,
+            compute_type=compute_type,
+            beam_size=config.transcription.beam_size,
+            language=config.transcription.language,
+            lazy_load=config.lazy_load_models,
+            weights_path=config.transcription.weights_path,
+            batch_size=config.transcription.batch_size,
+        )
+
+    def is_loaded(self) -> bool:
+        return self._backend.params is not None
+
+    def load_model(self) -> None:
+        self._backend.load()
+
+    def unload_model(self) -> None:
+        if self.is_loaded():
+            self._backend.unload()
+            logger.info("FasterWhisper model unloaded")
+
+    def _gate_silence(self, audio: np.ndarray, sr: int) -> np.ndarray:
+        """Built-in VAD gate: zero out non-speech (keeps timeline intact)."""
+        import jax.numpy as jnp
+
+        from .ops.vad_ops import frame_speech_flags, hangover_segments
+
+        frame_ms = 30
+        flags = np.asarray(frame_speech_flags(jnp.asarray(audio), sr, frame_ms, 1))
+        segs = hangover_segments(flags, frame_ms, 300, 0.5, 0.9)
+        if not segs:
+            return audio
+        keep = np.zeros(len(audio), dtype=bool)
+        spf = sr * frame_ms // 1000
+        for s, e, _ in segs:
+            keep[s * spf : (e + 1) * spf] = True
+        gated = np.where(keep, audio, 0.0).astype(np.float32)
+        return gated
+
+    def transcribe(self, input_wav: str) -> Dict[str, Any]:
+        try:
+            return self._transcribe_impl(input_wav)
+        except ModelLoadError:
+            raise
+        except Exception as exc:
+            # Device-level failure: retry once on CPU (reference's CUDA->CPU
+            # chain, transcriber.py:450-496).
+            logger.warning(
+                "Transcription failed (%s); retrying on CPU backend.", exc
+            )
+            try:
+                import jax
+
+                self.unload_model()
+                cpu = jax.devices("cpu")[0]
+                with jax.default_device(cpu):
+                    return self._transcribe_impl(input_wav)
+            except Exception as exc2:
+                raise TranscriptionError(
+                    f"Transcription failed after CPU fallback: {exc2}"
+                )
+
+    def _transcribe_impl(self, input_wav: str) -> Dict[str, Any]:
+        logger.info("Transcribing (Optimized): %s", input_wav)
+        self.load_model()
+        audio, sr = read_wav(input_wav)
+        if self.vad_filter and len(audio) > sr:
+            audio = self._gate_silence(audio, sr)
+        result = self._backend.transcribe_array(audio, sr)
+        return result

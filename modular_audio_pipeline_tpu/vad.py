@@ -1,0 +1,288 @@
+"""Voice-activity-detection components (protocol layer).
+
+Mirrors the reference's three implementations
+(``/root/reference/audio_pipeline/vad.py``):
+
+- :class:`VADFilter` — the WebRTC-style frame/ring-buffer machine; frame
+  decisions come from our vectorised sub-band classifier
+  (ops.vad_ops.frame_speech_flags) and the trigger/hangover logic is the
+  exact lax.scan reproduction of the reference's deque machine.
+- :class:`SileroVADFilter` — DNN-style VAD: our ConvVAD when converted
+  weights exist, energy-probability fallback otherwise, with Silero's
+  hysteresis post-processing (threshold / min-speech / padding).
+- :class:`NoOpVADFilter` — pass-through with an identity mapping.
+
+All produce ``(output_path, [TimestampMapping])`` with the reference's
+exact mapping semantics.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .audio_io import read_wav, write_wav
+from .config import PipelineConfig
+from .exceptions import VADError
+from .protocols import TimestampMapping, VADProtocol
+from .utils import get_audio_duration
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["VADFilter", "SileroVADFilter", "NoOpVADFilter"]
+
+
+class VADFilter(VADProtocol):
+    """WebRTC-equivalent VAD with ring-buffer hangover smoothing."""
+
+    SUPPORTED_SAMPLE_RATES = [8000, 16000, 32000, 48000]
+    SUPPORTED_FRAME_DURATIONS = [10, 20, 30]
+
+    def __init__(
+        self,
+        sample_rate: int = 16000,
+        frame_duration_ms: int = 30,
+        padding_duration_ms: int = 500,
+        start_threshold: float = 0.5,
+        stop_threshold: float = 0.9,
+        vad_mode: int = 1,
+    ):
+        if sample_rate not in self.SUPPORTED_SAMPLE_RATES:
+            raise VADError(
+                f"Unsupported sample rate: {sample_rate}",
+                details=f"Supported: {self.SUPPORTED_SAMPLE_RATES}",
+            )
+        if frame_duration_ms not in self.SUPPORTED_FRAME_DURATIONS:
+            raise VADError(
+                f"Unsupported frame duration: {frame_duration_ms}ms",
+                details=f"Supported: {self.SUPPORTED_FRAME_DURATIONS}ms",
+            )
+        if not 0 <= vad_mode <= 3:
+            raise VADError(f"VAD mode must be 0-3, got: {vad_mode}")
+
+        self.sample_rate = sample_rate
+        self.frame_ms = frame_duration_ms
+        self.padding_ms = padding_duration_ms
+        self.start_th = start_threshold
+        self.stop_th = stop_threshold
+        self.mode = vad_mode
+
+    @classmethod
+    def from_config(cls, config: PipelineConfig) -> "VADFilter":
+        return cls(
+            sample_rate=config.audio.sample_rate,
+            frame_duration_ms=config.vad.frame_duration_ms,
+            padding_duration_ms=config.vad.padding_duration_ms,
+            start_threshold=config.vad.start_threshold,
+            stop_threshold=config.vad.stop_threshold,
+            vad_mode=config.vad.mode,
+        )
+
+    # -- internals -----------------------------------------------------------
+
+    def _flags(self, audio: np.ndarray, sr: int) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from .ops.vad_ops import frame_speech_flags
+
+        return np.asarray(
+            frame_speech_flags(jnp.asarray(audio), sr, self.frame_ms, self.mode)
+        )
+
+    def _segments(self, audio: np.ndarray, sr: int) -> List[Tuple[int, int, int]]:
+        from .ops.vad_ops import hangover_segments
+
+        flags = self._flags(audio, sr)
+        return hangover_segments(
+            flags, self.frame_ms, self.padding_ms, self.start_th, self.stop_th
+        )
+
+    # -- protocol --------------------------------------------------------------
+
+    def detect_speech_segments(self, input_wav: str) -> List[Tuple[float, float]]:
+        audio, sr = read_wav(input_wav)
+        if sr != self.sample_rate:
+            raise VADError(f"Expected {self.sample_rate} Hz audio, got {sr}")
+        frame_s = self.frame_ms / 1000.0
+        return [
+            (start * frame_s, boundary * frame_s)
+            for start, _, boundary in self._segments(audio, sr)
+        ]
+
+    def filter_voice(
+        self,
+        input_wav: str,
+        output_dir: str,
+        preserve_timestamps: bool = True,
+    ) -> Tuple[str, List[TimestampMapping]]:
+        audio, sr = read_wav(input_wav)
+        if sr != self.sample_rate:
+            raise VADError(f"Expected {self.sample_rate} Hz audio, got {sr}")
+
+        spf = sr * self.frame_ms // 1000  # samples per frame
+        n_frames = len(audio) // spf
+        if n_frames == 0:
+            raise VADError("No frames generated from audio")
+
+        segments = self._segments(audio, sr)
+        if not segments:
+            logger.warning("No voiced segments detected, returning original audio")
+            return input_wav, []
+
+        frame_s = self.frame_ms / 1000.0
+        pieces: List[np.ndarray] = []
+        mappings: List[TimestampMapping] = []
+        processed = 0.0
+        for start_f, last_f, boundary_f in segments:
+            piece = audio[start_f * spf : (last_f + 1) * spf]
+            seg_dur = (last_f + 1 - start_f) * frame_s
+            if preserve_timestamps:
+                mappings.append(
+                    TimestampMapping(
+                        processed_start=processed,
+                        processed_end=processed + seg_dur,
+                        original_start=start_f * frame_s,
+                        original_end=boundary_f * frame_s,
+                    )
+                )
+            pieces.append(piece)
+            processed += seg_dur
+
+        voiced = np.concatenate(pieces)
+        out_path = os.path.join(output_dir, f"{Path(input_wav).stem}_voice.wav")
+        write_wav(out_path, voiced, sr)
+
+        original = n_frames * frame_s
+        removed = original - processed
+        logger.info(
+            "VAD filtered: %s (kept %.1fs, removed %.1fs, %.1f%% voiced)",
+            out_path, processed, removed, processed / max(original, 1e-9) * 100,
+        )
+        return out_path, mappings
+
+
+class NoOpVADFilter(VADProtocol):
+    """Pass-through VAD with a whole-file identity mapping."""
+
+    def filter_voice(
+        self, input_wav: str, output_dir: str
+    ) -> Tuple[str, List[TimestampMapping]]:
+        logger.debug("NoOp VAD: passing through unchanged")
+        duration = get_audio_duration(input_wav)
+        return input_wav, [
+            TimestampMapping(
+                processed_start=0.0,
+                processed_end=duration,
+                original_start=0.0,
+                original_end=duration,
+            )
+        ]
+
+    def detect_speech_segments(self, input_wav: str) -> List[Tuple[float, float]]:
+        return [(0.0, get_audio_duration(input_wav))]
+
+
+class SileroVADFilter(VADProtocol):
+    """DNN-class VAD with Silero-compatible hysteresis semantics."""
+
+    def __init__(
+        self,
+        threshold: float = 0.5,
+        sampling_rate: int = 16000,
+        min_speech_duration_ms: int = 250,
+        weights_path: Optional[str] = None,
+    ):
+        self.threshold = threshold
+        self.sampling_rate = sampling_rate
+        self.min_speech_duration_ms = min_speech_duration_ms
+        self.weights_path = weights_path
+        self.model = None
+        self._use_energy = None  # decided at load
+
+    def _load_model(self) -> None:
+        if self.model is not None or self._use_energy is not None:
+            return
+        from .models.vad_net import ConvVAD
+
+        if self.weights_path and Path(self.weights_path).exists():
+            try:
+                import numpy as _np
+
+                from .models.whisper.convert import unflatten_tree
+
+                with _np.load(Path(self.weights_path) / "params.npz") as z:
+                    flat = {k: z[k] for k in z.files}
+                self.model = ConvVAD(params=unflatten_tree(flat))
+                self._use_energy = False
+                logger.info("Loaded ConvVAD weights from %s", self.weights_path)
+                return
+            except Exception as exc:
+                raise VADError(f"Failed to load Silero-class VAD: {exc}")
+        self._use_energy = True
+        logger.info("No VAD weights; using energy-probability VAD")
+
+    def _probs(self, audio: np.ndarray, sr: int) -> np.ndarray:
+        self._load_model()
+        if self._use_energy:
+            from .models.vad_net import energy_speech_probs
+
+            return energy_speech_probs(audio, sr)
+        return self.model.speech_probs(audio, sr)
+
+    def _timestamps(self, audio: np.ndarray, sr: int) -> List[Dict[str, float]]:
+        from .models.vad_net import speech_timestamps_from_probs
+
+        probs = self._probs(audio, sr)
+        return speech_timestamps_from_probs(
+            probs, sr,
+            threshold=self.threshold,
+            min_speech_duration_ms=self.min_speech_duration_ms,
+            audio_length_samples=len(audio),
+        )
+
+    def detect_speech_segments(self, input_wav: str) -> List[Tuple[float, float]]:
+        audio, sr = read_wav(input_wav)
+        return [(t["start"], t["end"]) for t in self._timestamps(audio, sr)]
+
+    def filter_voice(
+        self, input_wav: str, output_dir: str
+    ) -> Tuple[str, List[TimestampMapping]]:
+        audio, sr = read_wav(input_wav)
+        timestamps = self._timestamps(audio, sr)
+        if not timestamps:
+            logger.warning("No voiced segments detected, returning original audio")
+            return input_wav, []
+
+        pieces: List[np.ndarray] = []
+        mappings: List[TimestampMapping] = []
+        processed = 0.0
+        for item in timestamps:
+            s = int(item["start"] * sr)
+            e = int(item["end"] * sr)
+            seg_dur = (e - s) / sr
+            mappings.append(
+                TimestampMapping(
+                    processed_start=processed,
+                    processed_end=processed + seg_dur,
+                    original_start=item["start"],
+                    original_end=item["end"],
+                )
+            )
+            pieces.append(audio[s:e])
+            processed += seg_dur
+
+        voiced = np.concatenate(pieces)
+        out_path = os.path.join(output_dir, f"{Path(input_wav).stem}_voice.wav")
+        write_wav(out_path, voiced, sr)
+
+        original = len(audio) / sr
+        logger.info(
+            "Silero VAD filtered: %s (kept %.1fs, removed %.1fs, %.1f%% voiced)",
+            out_path, processed, original - processed,
+            processed / max(original, 1e-9) * 100,
+        )
+        return out_path, mappings

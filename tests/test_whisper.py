@@ -1,0 +1,230 @@
+"""JAX Whisper stack tests: model mechanics, decode grammar, tokenizer,
+checkpoint round-trip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from modular_audio_pipeline_tpu.models.whisper.config import WHISPER_DIMS
+from modular_audio_pipeline_tpu.models.whisper.convert import (
+    flatten_tree,
+    load_params,
+    save_params,
+    unflatten_tree,
+)
+from modular_audio_pipeline_tpu.models.whisper.decode import (
+    DecodeOptions,
+    decode_windows,
+)
+from modular_audio_pipeline_tpu.models.whisper.model import (
+    KVCache,
+    cross_kv,
+    decoder_forward,
+    encoder_forward,
+    init_params,
+    sinusoids,
+)
+from modular_audio_pipeline_tpu.models.whisper.tokenizer import (
+    DummyTokenizer,
+    WhisperTokenizer,
+)
+from modular_audio_pipeline_tpu.ops.mel import log_mel
+
+
+DIMS = WHISPER_DIMS["test-tiny"]
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(DIMS, seed=0, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def mel_input(params):
+    rng = np.random.default_rng(0)
+    audio = (0.1 * rng.standard_normal(16000 * 30)).astype(np.float32)
+    return log_mel(jnp.asarray(audio)[None], n_mels=DIMS.n_mels)
+
+
+class TestModel:
+    def test_encoder_shapes(self, params, mel_input):
+        xa = encoder_forward(params, DIMS, mel_input)
+        assert xa.shape == (1, DIMS.n_audio_ctx, DIMS.n_audio_state)
+        assert np.isfinite(np.asarray(xa)).all()
+
+    def test_sinusoids_match_known_form(self):
+        pos = sinusoids(8, 4)
+        assert pos.shape == (8, 4)
+        np.testing.assert_allclose(pos[0], [0, 0, 1, 1], atol=1e-6)
+
+    def test_incremental_decode_matches_teacher_forced(self, params, mel_input):
+        """The KV-cached step loop must reproduce the full-sequence forward."""
+        xa = encoder_forward(params, DIMS, mel_input)
+        xa_k, xa_v = cross_kv(params, DIMS, xa)
+        tokens = jnp.asarray([[100, 200, 300, 400, 500]], dtype=jnp.int32)
+
+        cache = KVCache.zeros(DIMS, 1, jnp.float32)
+        full_logits, _ = decoder_forward(params, DIMS, tokens, xa_k, xa_v, cache)
+
+        cache = KVCache.zeros(DIMS, 1, jnp.float32)
+        step_logits = []
+        for i in range(5):
+            lg, cache = decoder_forward(
+                params, DIMS, tokens[:, i : i + 1], xa_k, xa_v, cache
+            )
+            step_logits.append(lg[:, 0])
+        step_logits = jnp.stack(step_logits, axis=1)
+
+        np.testing.assert_allclose(
+            np.asarray(full_logits), np.asarray(step_logits), rtol=2e-3, atol=2e-3
+        )
+
+    def test_prefill_then_steps_consistent(self, params, mel_input):
+        xa = encoder_forward(params, DIMS, mel_input)
+        xa_k, xa_v = cross_kv(params, DIMS, xa)
+        tokens = jnp.asarray([[7, 8, 9, 10]], dtype=jnp.int32)
+
+        cache = KVCache.zeros(DIMS, 1, jnp.float32)
+        full_logits, _ = decoder_forward(params, DIMS, tokens, xa_k, xa_v, cache)
+
+        cache = KVCache.zeros(DIMS, 1, jnp.float32)
+        _, cache = decoder_forward(params, DIMS, tokens[:, :3], xa_k, xa_v, cache)
+        last, _ = decoder_forward(params, DIMS, tokens[:, 3:4], xa_k, xa_v, cache)
+        np.testing.assert_allclose(
+            np.asarray(full_logits[:, 3]), np.asarray(last[:, 0]), rtol=2e-3, atol=2e-3
+        )
+
+    def test_batched_encoder(self, params):
+        rng = np.random.default_rng(1)
+        audio = (0.1 * rng.standard_normal((3, 16000 * 30))).astype(np.float32)
+        mel = log_mel(jnp.asarray(audio), n_mels=DIMS.n_mels)
+        xa = encoder_forward(params, DIMS, mel)
+        assert xa.shape == (3, DIMS.n_audio_ctx, DIMS.n_audio_state)
+
+
+class TestDecodeGrammar:
+    def test_greedy_respects_timestamp_rules(self, params, mel_input):
+        tok = DummyTokenizer()
+        res = decode_windows(
+            params, DIMS, tok, mel_input,
+            DecodeOptions(language="en", beam_size=1, max_tokens=24),
+        )
+        toks = [int(t) for t in res.tokens[0] if int(t) != tok.eot]
+        assert toks, "expected generated tokens"
+        # first token is a timestamp <= max_initial (1.0s => begin+50)
+        assert tok.is_timestamp(toks[0])
+        assert toks[0] <= tok.timestamp_begin + 50
+        # timestamps never decrease
+        ts = [t for t in toks if tok.is_timestamp(t)]
+        assert ts == sorted(ts)
+        # never three timestamps in a row
+        run = 0
+        for t in toks:
+            run = run + 1 if tok.is_timestamp(t) else 0
+            assert run <= 2
+
+    def test_beam_matches_constraints_and_batches(self, params):
+        tok = DummyTokenizer()
+        rng = np.random.default_rng(2)
+        audio = (0.1 * rng.standard_normal((2, 16000 * 30))).astype(np.float32)
+        mel = log_mel(jnp.asarray(audio), n_mels=DIMS.n_mels)
+        res = decode_windows(
+            params, DIMS, tok, mel,
+            DecodeOptions(language="en", beam_size=3, max_tokens=16),
+        )
+        assert res.tokens.shape[0] == 2
+        for b in range(2):
+            toks = [int(t) for t in res.tokens[b] if int(t) != tok.eot]
+            if toks:
+                assert tok.is_timestamp(toks[0])
+
+    def test_no_speech_prob_in_range(self, params, mel_input):
+        tok = DummyTokenizer()
+        res = decode_windows(
+            params, DIMS, tok, mel_input,
+            DecodeOptions(language="en", beam_size=1, max_tokens=4),
+        )
+        assert 0.0 <= res.no_speech_probs[0] <= 1.0
+
+    def test_prompt_conditioning_changes_output(self, params, mel_input):
+        tok = DummyTokenizer()
+        r1 = decode_windows(
+            params, DIMS, tok, mel_input,
+            DecodeOptions(language="en", beam_size=1, max_tokens=12),
+        )
+        r2 = decode_windows(
+            params, DIMS, tok, mel_input,
+            DecodeOptions(
+                language="en", beam_size=1, max_tokens=12,
+                prompt_tokens=tuple(tok.encode("hello there")),
+            ),
+        )
+        # different conditioning should (almost surely) change something
+        assert (r1.tokens != r2.tokens).any() or (
+            r1.sum_logprobs != r2.sum_logprobs
+        ).any()
+
+
+class TestTokenizer:
+    def test_special_token_layout_multilingual(self):
+        tok = DummyTokenizer(n_vocab=51865)
+        assert tok.eot == 50257
+        assert tok.sot == 50258
+        assert tok.language_token("en") == 50259
+        assert tok.language_token("pt") == 50259 + 8
+        assert tok.special.transcribe == 50359
+        assert tok.no_timestamps == 50363
+        assert tok.timestamp_begin == 50364
+
+    def test_special_token_layout_v3(self):
+        tok = DummyTokenizer(n_vocab=51866)
+        assert tok.eot == 50257
+        assert tok.language_token("yue") == 50258 + 1 + 99
+        assert tok.timestamp_begin == 50365
+
+    def test_timestamp_round_trip(self):
+        tok = DummyTokenizer()
+        assert tok.timestamp_to_seconds(tok.timestamp_begin) == 0.0
+        assert tok.timestamp_to_seconds(tok.timestamp_begin + 1500) == pytest.approx(30.0)
+
+    def test_sot_sequence(self):
+        tok = DummyTokenizer()
+        seq = tok.sot_sequence("pt", "transcribe", timestamps=True)
+        assert seq == [tok.sot, tok.language_token("pt"), tok.special.transcribe]
+        seq2 = tok.sot_sequence("en", "translate", timestamps=False)
+        assert seq2[-1] == tok.no_timestamps
+
+    def test_bpe_tokenizer_roundtrip(self):
+        # Minimal BPE vocab exercising merges
+        from modular_audio_pipeline_tpu.models.whisper.tokenizer import (
+            _bytes_to_unicode,
+        )
+
+        b2u = _bytes_to_unicode()
+        words = ["hello", "world", " hello", " world", "he", "ll", "o"]
+        vocab = {}
+        for w in words:
+            mapped = "".join(b2u[b] for b in w.encode())
+            vocab.setdefault(mapped, len(vocab))
+        for ch in set("".join(b2u[b] for b in bytes(range(256)))):
+            vocab.setdefault(ch, len(vocab))
+        tok = WhisperTokenizer(vocab, merges=[("he", "ll"), ("hell", "o")], n_vocab=51865)
+        ids = tok.encode("hello world")
+        assert tok.decode(ids) == "hello world"
+
+
+class TestCheckpointRoundTrip:
+    def test_save_load_identical(self, tmp_path, params):
+        save_params(jax.tree.map(np.asarray, params), str(tmp_path))
+        loaded = load_params(str(tmp_path))
+        flat_a = flatten_tree(jax.tree.map(np.asarray, params))
+        flat_b = flatten_tree(loaded)
+        assert set(flat_a) == set(flat_b)
+        for k in flat_a:
+            np.testing.assert_array_equal(flat_a[k], flat_b[k])
+
+    def test_flatten_unflatten(self):
+        tree = {"a": {"b": np.ones(3), "c": {"d": np.zeros(2)}}}
+        assert unflatten_tree(flatten_tree(tree))["a"]["c"]["d"].shape == (2,)
