@@ -104,12 +104,10 @@ class SpeakerDiarizer(DiarizerProtocol):
     # -- internals -------------------------------------------------------------
 
     def _speech_regions(self, audio: np.ndarray, sr: int) -> List[tuple]:
-        import jax.numpy as jnp
-
         from .ops.vad_ops import frame_speech_flags, hangover_segments
 
         frame_ms = 30
-        flags = np.asarray(frame_speech_flags(jnp.asarray(audio), sr, frame_ms, 1))
+        flags = frame_speech_flags(audio, sr, frame_ms, 1)
         segs = hangover_segments(flags, frame_ms, 300, 0.5, 0.9)
         spf = sr * frame_ms // 1000
         if not segs:

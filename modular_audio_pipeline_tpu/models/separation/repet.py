@@ -57,21 +57,28 @@ def find_repeating_period(
     return int(lo + np.argmax(b[lo:hi]))
 
 
-@partial(jax.jit, static_argnames=("period", "n_reps"))
-def _repeating_mask(mag: jnp.ndarray, period: int, n_reps: int) -> jnp.ndarray:
-    """Soft mask of the repeating (music) component. mag: [F, T]."""
+_N_SHIFTS = 12  # repetitions sampled for the median model (static)
+
+
+@jax.jit
+def _repeating_mask(mag: jnp.ndarray, period: jnp.ndarray) -> jnp.ndarray:
+    """Soft mask of the repeating (music) component. mag: [F, T].
+
+    The period is a *traced* scalar — one compiled program per spectrogram
+    shape regardless of the song's tempo (a static period would recompile
+    per file). The repeating model is the median of ``_N_SHIFTS``
+    period-shifted copies, wrapping modulo T (the input is tiled, so the
+    wrap is seamless).
+    """
     f, t = mag.shape
-    pad = (-t) % period
-    padded = jnp.pad(mag, ((0, 0), (0, pad)), constant_values=jnp.inf)
-    segs = padded.reshape(f, -1, period)  # [F, n_segs, period]
-    # median over repetitions, ignoring the inf padding
-    finite = jnp.isfinite(segs)
-    big = jnp.where(finite, segs, jnp.nan)
-    w = jnp.nanmedian(big, axis=1)  # [F, period]
-    w_full = jnp.tile(w, (1, segs.shape[1]))[:, :t]
+    t_idx = jnp.arange(t)[None, :]
+    k_idx = jnp.arange(_N_SHIFTS)[:, None]
+    shifts = (t_idx + k_idx * period) % t  # [K, T]
+    samples = mag[:, shifts]  # [F, K, T]
+    w = jnp.median(samples, axis=1)  # [F, T]
     # repeating model cannot exceed the mixture
-    w_full = jnp.minimum(w_full, mag)
-    mask = w_full / jnp.maximum(mag, 1e-8)
+    w = jnp.minimum(w, mag)
+    mask = w / jnp.maximum(mag, 1e-8)
     return jnp.clip(mask, 0.0, 1.0)
 
 
@@ -79,13 +86,21 @@ def repet_separate(
     audio: np.ndarray, sr: int, high_pass_hz: float = 100.0
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Split ``audio`` into (vocals, accompaniment)."""
-    x = jnp.asarray(audio, dtype=jnp.float32)
+    from ...ops.bucketing import bucket_length, tile_to_length
+
+    # Bucket by TILING (not zero-padding): repetition is REPET's model
+    # assumption, so tiled audio keeps both the beat spectrum and the
+    # per-bin medians unbiased, and one program compiles per bucket.
+    n_valid = len(audio)
+    target = bucket_length(n_valid, sr)
+    tiled = tile_to_length(np.asarray(audio, np.float32), target)
+
+    x = jnp.asarray(tiled, dtype=jnp.float32)
     spec = stft(x, n_fft=_N_FFT, hop=_HOP)  # [F, T] complex
     mag = jnp.abs(spec)
 
     period = find_repeating_period(np.asarray(mag) ** 2, sr)
-    n_reps = int(np.ceil(mag.shape[1] / period))
-    music_mask = _repeating_mask(mag, period, n_reps)
+    music_mask = _repeating_mask(mag, jnp.asarray(period, jnp.int32))
 
     # Vocals rarely live below ~100 Hz: force those bins to accompaniment.
     freqs = np.fft.rfftfreq(_N_FFT, 1.0 / sr)
@@ -94,9 +109,9 @@ def repet_separate(
 
     vocal_spec = spec * (1.0 - music_mask)
     music_spec = spec * music_mask
-    vocals = istft(vocal_spec, n_fft=_N_FFT, hop=_HOP, length=len(audio))
-    music = istft(music_spec, n_fft=_N_FFT, hop=_HOP, length=len(audio))
+    vocals = istft(vocal_spec, n_fft=_N_FFT, hop=_HOP, length=target)
+    music = istft(music_spec, n_fft=_N_FFT, hop=_HOP, length=target)
     return (
-        np.asarray(vocals, dtype=np.float32),
-        np.asarray(music, dtype=np.float32),
+        np.asarray(vocals, dtype=np.float32)[:n_valid],
+        np.asarray(music, dtype=np.float32)[:n_valid],
     )

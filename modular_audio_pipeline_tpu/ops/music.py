@@ -19,13 +19,27 @@ __all__ = ["analyze_audio_content", "energy_cv"]
 
 
 @partial(jax.jit, static_argnames=("sr",))
-def energy_cv(audio: jnp.ndarray, sr: int) -> jnp.ndarray:
-    """Coefficient of variation of 50 ms window RMS energies."""
+def window_energies(audio: jnp.ndarray, sr: int) -> jnp.ndarray:
+    """RMS energy per non-overlapping 50 ms window."""
     window = int(sr * 0.05)
     n = (audio.shape[-1] // window) * window
     windows = audio[:n].reshape(-1, window)
-    energies = jnp.sqrt(jnp.mean(windows * windows, axis=-1))
-    return jnp.std(energies) / (jnp.mean(energies) + 1e-10)
+    return jnp.sqrt(jnp.mean(windows * windows, axis=-1))
+
+
+def energy_cv(audio: np.ndarray, sr: int) -> float:
+    """Coefficient of variation of 50 ms window RMS energies.
+
+    Device computes the per-window energies over bucket-padded audio; the
+    host reduces over the valid windows only.
+    """
+    from .bucketing import pad_to_bucket
+
+    window = int(sr * 0.05)
+    n_valid = len(audio) // window
+    padded, _ = pad_to_bucket(np.asarray(audio, dtype=np.float32), sr)
+    energies = np.asarray(window_energies(jnp.asarray(padded), sr))[:n_valid]
+    return float(np.std(energies) / (np.mean(energies) + 1e-10))
 
 
 def analyze_audio_content(audio: np.ndarray, sr: int) -> Dict:
@@ -35,7 +49,7 @@ def analyze_audio_content(audio: np.ndarray, sr: int) -> Dict:
     if num_windows < 10:
         return {"has_music": False, "confidence": 0.0, "reason": "Audio too short"}
 
-    cv = float(energy_cv(jnp.asarray(audio), sr))
+    cv = energy_cv(audio, sr)
     has_music = cv < 0.6
     confidence = max(0.0, min(1.0, (0.8 - cv) / 0.4))
     return {

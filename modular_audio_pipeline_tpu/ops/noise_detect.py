@@ -42,12 +42,20 @@ def frame_energy_zcr(audio: jnp.ndarray, sr: int) -> Tuple[jnp.ndarray, jnp.ndar
 
 def detect_noise_segments(audio: np.ndarray, sr: int) -> List[Tuple[int, int]]:
     """(start_sample, end_sample) runs likely to be pure noise."""
+    from .bucketing import pad_to_bucket
+
     hop = int(sr * 0.010)
     frame_length = int(sr * 0.025)
     if len(audio) < frame_length:
         return []
 
-    energies, zcrs = (np.asarray(v) for v in frame_energy_zcr(jnp.asarray(audio), sr))
+    # Pad to a shape bucket (one compile per bucket); slice stats back to
+    # the valid frame count so padding can't skew the percentiles.
+    n_valid_frames = (len(audio) - frame_length) // hop + 1
+    padded, _ = pad_to_bucket(np.asarray(audio, dtype=np.float32), sr)
+    energies, zcrs = (np.asarray(v) for v in frame_energy_zcr(jnp.asarray(padded), sr))
+    energies = energies[:n_valid_frames]
+    zcrs = zcrs[:n_valid_frames]
 
     energy_threshold = np.percentile(energies, 20)
     zcr_threshold = np.percentile(zcrs, 50)

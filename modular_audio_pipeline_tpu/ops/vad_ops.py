@@ -45,11 +45,16 @@ _MODE_THRESHOLDS = {
 }
 
 
-@partial(jax.jit, static_argnames=("sr", "frame_ms", "mode"))
-def frame_speech_flags(
-    audio: jnp.ndarray, sr: int, frame_ms: int = 30, mode: int = 1
-) -> jnp.ndarray:
-    """Per-frame boolean speech decisions (int32 0/1), shape [n_frames]."""
+@partial(jax.jit, static_argnames=("sr", "frame_ms"))
+def band_energies(
+    audio: jnp.ndarray, sr: int, frame_ms: int = 30
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device half of the classifier: per-frame sub-band energies + level.
+
+    Returns (bands [nf, 6], frame_db [nf]). The decision statistics (noise
+    floor quantile, thresholds) run on host over these tiny arrays so that
+    zero padding from shape bucketing never skews them.
+    """
     frame_len = int(sr * frame_ms / 1000)
     frames = frame_signal(audio, frame_len, frame_len)  # non-overlapping
     spec = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2  # [nf, bins]
@@ -61,19 +66,38 @@ def frame_speech_flags(
         band_energy.append(spec[:, sel].sum(axis=-1))
     bands = jnp.stack(band_energy, axis=-1)  # [nf, 6]
 
-    # Noise floor per band: mean of the quietest 10% of frames.
-    nf = bands.shape[0]
-    k = max(1, nf // 10)
-    floor = jnp.mean(jnp.sort(bands, axis=0)[:k], axis=0) + 1e-12  # [6]
-
-    snr = bands / floor
-    score = jnp.sum(jnp.log2(1.0 + snr), axis=-1)  # [nf]
-
-    # Absolute energy gate so digital silence never counts as speech.
     frame_db = 10.0 * jnp.log10(jnp.mean(frames * frames, axis=-1) + 1e-12)
+    return bands, frame_db
+
+
+def frame_speech_flags(
+    audio: np.ndarray, sr: int, frame_ms: int = 30, mode: int = 1
+) -> np.ndarray:
+    """Per-frame speech decisions (int32 0/1), shape [n_valid_frames].
+
+    Audio is padded to a shape bucket for the device FFT pass; the
+    adaptive noise floor (quietest-10%-of-frames mean per band) and the
+    mode thresholds are applied on host over the valid frames only.
+    """
+    from .bucketing import pad_to_bucket
+
+    audio = np.asarray(audio, dtype=np.float32)
+    frame_len = sr * frame_ms // 1000
+    n_valid_frames = len(audio) // frame_len
+    if n_valid_frames == 0:
+        return np.zeros(0, dtype=np.int32)
+
+    padded, _ = pad_to_bucket(audio, sr)
+    bands_d, db_d = band_energies(jnp.asarray(padded), sr, frame_ms)
+    bands = np.asarray(bands_d)[:n_valid_frames]
+    frame_db = np.asarray(db_d)[:n_valid_frames]
+
+    k = max(1, len(bands) // 10)
+    floor = np.sort(bands, axis=0)[:k].mean(axis=0) + 1e-12
+    score = np.log2(1.0 + bands / floor).sum(axis=-1)
 
     score_th, db_th = _MODE_THRESHOLDS[mode]
-    return ((score > score_th) & (frame_db > db_th)).astype(jnp.int32)
+    return ((score > score_th) & (frame_db > db_th)).astype(np.int32)
 
 
 def _hangover_scan(flags: jnp.ndarray, ring_size: int, start_th: float, stop_th: float):

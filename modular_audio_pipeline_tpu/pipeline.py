@@ -111,6 +111,11 @@ class AudioPipeline:
         self.config = config or get_default_config()
         self.config.validate()
 
+        # Warm starts: persist compiled XLA programs across processes.
+        from .runtime import enable_persistent_cache
+
+        enable_persistent_cache()
+
         self.media_dir = ensure_directory(self.config.media_dir)
         self.temp_dir = ensure_directory(self.config.temp_dir)
         self.results_dir = ensure_directory(self.config.results_dir)

@@ -109,11 +109,19 @@ class AudioPreprocessor(PreprocessorProtocol):
             logger.warning("Noise profile too short (%d samples); skipping", len(noise_clip))
             return audio
 
+        from .ops.bucketing import pad_to_bucket, tile_to_length
+
+        # Bucket the signal (one compile per bucket) and TILE the noise
+        # profile to a fixed 2 s window — tiling keeps the stationary-noise
+        # statistics unbiased where zero padding would not.
+        padded, n_valid = pad_to_bucket(audio, sr)
+        noise_fixed = tile_to_length(np.asarray(noise_clip, np.float32), 2 * sr)
+
         out = spectral_gate_stationary(
-            jnp.asarray(audio), jnp.asarray(noise_clip), sr,
+            jnp.asarray(padded), jnp.asarray(noise_fixed), sr,
             prop_decrease=self.noise_config.prop_decrease,
         )
-        return np.asarray(out, dtype=np.float32)
+        return np.asarray(out, dtype=np.float32)[:n_valid]
 
     def reduce_stationary_noise(
         self, input_wav: str, noise_sample_path: Optional[str] = None
@@ -145,13 +153,16 @@ class AudioPreprocessor(PreprocessorProtocol):
     def normalize_audio_array(self, audio: np.ndarray, sr: int) -> Tuple[np.ndarray, int]:
         import jax.numpy as jnp
 
+        from .ops.bucketing import pad_to_bucket
         from .ops.dynamics import peak_normalize
 
         if sr != self.sample_rate:
             audio = resample_poly(audio, sr, self.sample_rate)
             sr = self.sample_rate
-        out = np.asarray(peak_normalize(jnp.asarray(audio)), dtype=np.float32)
-        return out, sr
+        # Zero padding cannot change the peak, so pad/slice is exact here.
+        padded, n_valid = pad_to_bucket(audio, sr)
+        out = np.asarray(peak_normalize(jnp.asarray(padded)), dtype=np.float32)
+        return out[:n_valid], sr
 
     def normalize_audio(self, input_wav: str) -> str:
         try:
@@ -172,14 +183,20 @@ class AudioPreprocessor(PreprocessorProtocol):
         """Returns (audio, changed). Skips silent audio like the reference."""
         import jax.numpy as jnp
 
+        from .ops.bucketing import pad_to_bucket
         from .ops.loudness import integrated_loudness, normalize_loudness
 
-        lufs = float(integrated_loudness(jnp.asarray(audio), sr))
+        # Zero padding is excluded by the -70 LUFS absolute gate, so the
+        # measured loudness over the padded signal matches the valid part
+        # (up to one boundary block).
+        padded, n_valid = pad_to_bucket(audio, sr)
+        x = jnp.asarray(padded)
+        lufs = float(integrated_loudness(x, sr))
         if not np.isfinite(lufs) or lufs < -70:
             logger.warning("Audio is too quiet for LUFS normalization, skipping")
             return audio, False
-        out = normalize_loudness(jnp.asarray(audio), jnp.asarray(lufs), target_lufs)
-        return np.asarray(out, dtype=np.float32), True
+        out = normalize_loudness(x, jnp.asarray(lufs), target_lufs)
+        return np.asarray(out, dtype=np.float32)[:n_valid], True
 
     def normalize_loudness(self, input_wav: str, target_lufs: float = -16.0) -> str:
         try:

@@ -464,12 +464,10 @@ class FasterWhisperTranscriber:
 
     def _gate_silence(self, audio: np.ndarray, sr: int) -> np.ndarray:
         """Built-in VAD gate: zero out non-speech (keeps timeline intact)."""
-        import jax.numpy as jnp
-
         from .ops.vad_ops import frame_speech_flags, hangover_segments
 
         frame_ms = 30
-        flags = np.asarray(frame_speech_flags(jnp.asarray(audio), sr, frame_ms, 1))
+        flags = frame_speech_flags(audio, sr, frame_ms, 1)
         segs = hangover_segments(flags, frame_ms, 300, 0.5, 0.9)
         if not segs:
             return audio

@@ -85,13 +85,9 @@ class VADFilter(VADProtocol):
     # -- internals -----------------------------------------------------------
 
     def _flags(self, audio: np.ndarray, sr: int) -> np.ndarray:
-        import jax.numpy as jnp
-
         from .ops.vad_ops import frame_speech_flags
 
-        return np.asarray(
-            frame_speech_flags(jnp.asarray(audio), sr, self.frame_ms, self.mode)
-        )
+        return frame_speech_flags(audio, sr, self.frame_ms, self.mode)
 
     def _segments(self, audio: np.ndarray, sr: int) -> List[Tuple[int, int, int]]:
         from .ops.vad_ops import hangover_segments
