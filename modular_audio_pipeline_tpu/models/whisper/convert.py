@@ -68,12 +68,21 @@ def load_params(src: str, dtype=None) -> Dict[str, Any]:
     with np.load(path) as z:
         flat = {k: z[k] for k in z.files}
     if dtype is not None:
-        import jax.numpy as jnp
-
         import ml_dtypes  # bundled with jax
 
         np_dtype = np.dtype(dtype) if dtype != "bfloat16" else ml_dtypes.bfloat16
         flat = {k: v.astype(np_dtype) if v.dtype.kind == "f" else v for k, v in flat.items()}
+
+    # Pad the embedding table to a lane multiple (see model.padded_vocab).
+    emb_key = "decoder/tok_emb"
+    if emb_key in flat:
+        from .model import padded_vocab
+
+        emb = flat[emb_key]
+        target = padded_vocab(emb.shape[0])
+        if target > emb.shape[0]:
+            pad = np.zeros((target - emb.shape[0], emb.shape[1]), dtype=emb.dtype)
+            flat[emb_key] = np.concatenate([emb, pad], axis=0)
     return unflatten_tree(flat)
 
 

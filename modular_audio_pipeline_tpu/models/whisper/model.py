@@ -38,6 +38,16 @@ __all__ = ["WhisperModel", "init_params", "KVCache", "sinusoids"]
 Params = Dict[str, Any]
 
 
+def padded_vocab(n_vocab: int) -> int:
+    """Vocab rounded up to a lane multiple (128).
+
+    Whisper's 51865/51866 vocab produces odd-shaped logits matmuls that
+    the TPU backend tiles (and compiles) poorly; the embedding table is
+    padded with zero rows and logits are sliced back to ``n_vocab``.
+    """
+    return ((n_vocab + 127) // 128) * 128
+
+
 def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.ndarray:
     """Whisper's fixed sinusoidal positions for the audio encoder."""
     assert channels % 2 == 0
@@ -115,12 +125,12 @@ class KVCache(NamedTuple):
     pos: jnp.ndarray  # scalar int32
 
     @staticmethod
-    def zeros(dims: WhisperDims, batch: int, dtype) -> "KVCache":
+    def zeros(dims: WhisperDims, batch: int, dtype, ctx: Optional[int] = None) -> "KVCache":
         shape = (
             dims.n_text_layer,
             batch,
             dims.n_text_head,
-            dims.n_text_ctx,
+            ctx if ctx is not None else dims.n_text_ctx,
             dims.n_text_state // dims.n_text_head,
         )
         return KVCache(
@@ -220,7 +230,7 @@ def decoder_forward(
     dtype = dec["tok_emb"].dtype
     b, s = tokens.shape
     h = dims.n_text_head
-    ctx = dims.n_text_ctx
+    ctx = cache.k.shape[-2]  # cache capacity (n_text_ctx, or shorter in training)
     pos0 = cache.pos
 
     x = dec["tok_emb"][tokens] + jax.lax.dynamic_slice_in_dim(
@@ -277,7 +287,7 @@ def decoder_forward(
 
     logits = jnp.einsum(
         "bsd,vd->bsv", x, dec["tok_emb"], preferred_element_type=jnp.float32
-    )
+    )[..., : dims.n_vocab]
     new_cache = KVCache(k=new_k, v=new_v, pos=pos0 + s)
     if return_cross_probs:
         return logits, new_cache, cross_probs
@@ -357,7 +367,8 @@ def init_params(dims: WhisperDims, seed: int = 0, dtype=jnp.bfloat16) -> Params:
         },
         "decoder": {
             "tok_emb": (
-                jax.random.normal(k_emb, (dims.n_vocab, dims.n_text_state)) * s
+                jax.random.normal(k_emb, (padded_vocab(dims.n_vocab), dims.n_text_state))
+                * s
             ).astype(dtype),
             "pos_emb": (
                 jax.random.normal(k_emb, (dims.n_text_ctx, dims.n_text_state)) * 0.01

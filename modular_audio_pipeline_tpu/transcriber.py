@@ -48,6 +48,16 @@ _SR = 16000
 _BATCH_BUCKETS = (1, 2, 4, 8, 16)
 
 
+def _mesh_from_config(config: PipelineConfig):
+    """Build the window-sharding mesh when the config declares one."""
+    shape = config.tpu.mesh_shape
+    if not shape or max(shape.values()) <= 1:
+        return None
+    from .parallel.mesh import build_mesh
+
+    return build_mesh(config.tpu)
+
+
 def default_weights_dir(model_name: str) -> str:
     root = os.environ.get(
         "MAP_TPU_WEIGHTS", os.path.join(os.path.expanduser("~"), ".cache", "map_tpu")
@@ -71,9 +81,11 @@ class JaxWhisperBackend:
         batch_size: int = 16,
         max_decode_tokens: int = 224,
         timestamps: bool = True,
+        mesh=None,  # jax.sharding.Mesh: shard window batches on its 'data' axis
     ):
         if model_name not in WHISPER_DIMS:
             raise ModelLoadError(f"Unknown Whisper model: {model_name}")
+        self.mesh = mesh
         self.model_name = model_name
         self.dims: WhisperDims = WHISPER_DIMS[model_name]
         self.language = language
@@ -189,16 +201,34 @@ class JaxWhisperBackend:
         segments: List[Dict[str, Any]] = []
         texts: List[str] = []
 
+        n_data = 1
+        if self.mesh is not None and "data" in self.mesh.axis_names:
+            n_data = self.mesh.shape["data"]
+
         for start in range(0, n_win, self.batch_size):
             batch = windows[start : start + self.batch_size]
             b = batch.shape[0]
-            # Bucket the batch dim so jit compiles a bounded set of shapes.
-            bucket = next((c for c in _BATCH_BUCKETS if c >= b), self.batch_size)
+            # Bucket the batch dim so jit compiles a bounded set of shapes;
+            # on a mesh the bucket must divide evenly across the data axis.
+            bucket = next(
+                (c for c in _BATCH_BUCKETS if c >= b and c % n_data == 0),
+                ((b + n_data - 1) // n_data) * n_data,
+            )
             if bucket > b:
                 batch = np.concatenate(
                     [batch, np.zeros((bucket - b, batch.shape[1]), np.float32)]
                 )
-            mel = log_mel(jnp.asarray(batch), n_mels=self.dims.n_mels)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                import jax
+
+                batch_dev = jax.device_put(
+                    batch, NamedSharding(self.mesh, P("data", None))
+                )
+            else:
+                batch_dev = jnp.asarray(batch)
+            mel = log_mel(batch_dev, n_mels=self.dims.n_mels)
             result = decode_windows(
                 self.params, self.dims, self.tokenizer, mel, opts
             )
@@ -298,6 +328,7 @@ class WhisperTranscriber:
         lazy_load: bool = True,
         weights_path: Optional[str] = None,
         batch_size: int = 16,
+        mesh=None,
     ) -> None:
         self.model_name = model_name
         self.language = language
@@ -326,6 +357,7 @@ class WhisperTranscriber:
             prompt=prompt,
             weights_path=weights_path,
             batch_size=batch_size,
+            mesh=mesh,
         )
         if not lazy_load:
             self.load_model()
@@ -342,6 +374,7 @@ class WhisperTranscriber:
             lazy_load=config.lazy_load_models,
             weights_path=config.transcription.weights_path,
             batch_size=config.transcription.batch_size,
+            mesh=_mesh_from_config(config),
         )
 
     def is_loaded(self) -> bool:
@@ -415,6 +448,7 @@ class FasterWhisperTranscriber:
         weights_path: Optional[str] = None,
         batch_size: int = 16,
         vad_filter: bool = True,
+        mesh=None,
     ):
         self.model_name = model_name
         self.device = device
@@ -431,6 +465,7 @@ class FasterWhisperTranscriber:
             weights_path=weights_path,
             compute_dtype=compute,
             batch_size=batch_size,
+            mesh=mesh,
         )
         if not lazy_load:
             self.load_model()
@@ -449,6 +484,7 @@ class FasterWhisperTranscriber:
             lazy_load=config.lazy_load_models,
             weights_path=config.transcription.weights_path,
             batch_size=config.transcription.batch_size,
+            mesh=_mesh_from_config(config),
         )
 
     def is_loaded(self) -> bool:

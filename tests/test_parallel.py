@@ -1,0 +1,126 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+This is the 'distributed without a cluster' mechanism (SURVEY.md §4):
+mesh construction, Megatron-style TP param placement, DP+TP training
+steps, and the driver-facing dryrun entry."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from modular_audio_pipeline_tpu.config import TPUConfig
+from modular_audio_pipeline_tpu.exceptions import ShardingError
+from modular_audio_pipeline_tpu.models.whisper.config import WHISPER_DIMS
+from modular_audio_pipeline_tpu.models.whisper.model import init_params
+from modular_audio_pipeline_tpu.parallel.mesh import build_mesh, shard_batch
+from modular_audio_pipeline_tpu.parallel.sharding import shard_params
+from modular_audio_pipeline_tpu.training import make_train_step
+
+DIMS = WHISPER_DIMS["test-tiny"]
+
+
+class TestMesh:
+    def test_default_mesh_uses_all_devices(self):
+        mesh = build_mesh(TPUConfig())
+        assert mesh.shape["data"] == len(jax.devices())
+
+    def test_explicit_shape(self):
+        mesh = build_mesh(TPUConfig(mesh_shape={"data": 4, "model": 2}))
+        assert mesh.shape == {"data": 4, "model": 2}
+
+    def test_too_many_devices_raises(self):
+        with pytest.raises(ShardingError):
+            build_mesh(TPUConfig(mesh_shape={"data": 1024}))
+
+    def test_shard_batch_pads_and_places(self):
+        mesh = build_mesh(TPUConfig(mesh_shape={"data": 8}))
+        batch = np.ones((5, 16), np.float32)
+        sharded, n_valid = shard_batch(mesh, batch)
+        assert n_valid == 5
+        assert sharded.shape == (8, 16)  # padded to the axis size
+        assert len(sharded.sharding.device_set) == 8
+
+
+class TestParamSharding:
+    def test_tp_placement(self):
+        mesh = build_mesh(TPUConfig(mesh_shape={"data": 4, "model": 2}))
+        params = init_params(DIMS, seed=0, dtype=jnp.float32)
+        placed = shard_params(params, mesh)
+
+        q_w = placed["encoder"]["blocks"]["attn"]["q_w"]
+        assert len(q_w.sharding.device_set) == 8
+        # column-parallel: last dim split over 'model'
+        assert q_w.sharding.spec == P(None, None, "model")
+        o_w = placed["decoder"]["blocks"]["attn"]["o_w"]
+        assert o_w.sharding.spec == P(None, "model", None)
+
+        # values preserved
+        np.testing.assert_array_equal(
+            np.asarray(q_w), np.asarray(params["encoder"]["blocks"]["attn"]["q_w"])
+        )
+
+    def test_replicated_when_no_model_axis(self):
+        mesh = build_mesh(TPUConfig(mesh_shape={"data": 8}))
+        params = init_params(DIMS, seed=0, dtype=jnp.float32)
+        placed = shard_params(params, mesh)
+        q_w = placed["encoder"]["blocks"]["attn"]["q_w"]
+        assert q_w.sharding.spec == P()
+
+
+class TestTrainStep:
+    @pytest.mark.parametrize("mesh_shape", [{"data": 8}, {"data": 4, "model": 2}])
+    def test_one_step_decreases_nothing_catastrophic(self, mesh_shape):
+        mesh = build_mesh(TPUConfig(mesh_shape=mesh_shape))
+        params = init_params(DIMS, seed=0, dtype=jnp.float32)
+        with mesh:
+            placed = shard_params(params, mesh)
+            init_state, train_step = make_train_step(DIMS)
+            state = init_state(placed)
+
+            rng = np.random.default_rng(0)
+            b, s = 8, 12
+            mel = jax.device_put(
+                rng.standard_normal((b, DIMS.n_mels, 3000)).astype(np.float32),
+                NamedSharding(mesh, P("data", None, None)),
+            )
+            tokens = jax.device_put(
+                rng.integers(0, DIMS.n_vocab, (b, s)).astype(np.int32),
+                NamedSharding(mesh, P("data", None)),
+            )
+            step = jax.jit(train_step)
+            state1, loss1 = step(state, mel, tokens, tokens)
+            state2, loss2 = step(state1, mel, tokens, tokens)
+
+        assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+        # same batch twice: adamw should reduce the loss
+        assert float(loss2) < float(loss1)
+        assert int(state2.step) == 2
+
+    def test_loss_masking(self):
+        from modular_audio_pipeline_tpu.training.whisper_train import (
+            IGNORE_INDEX,
+            cross_entropy_loss,
+        )
+
+        logits = jnp.zeros((1, 4, 10))
+        targets = jnp.asarray([[1, 2, IGNORE_INDEX, IGNORE_INDEX]], dtype=jnp.int32)
+        loss = cross_entropy_loss(logits, targets)
+        # uniform logits -> loss = log(10) over the 2 unmasked positions
+        assert float(loss) == pytest.approx(np.log(10), rel=1e-5)
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip_8(self, capsys):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
+        assert "dryrun_multichip OK" in capsys.readouterr().out
+
+    def test_dryrun_multichip_1(self, capsys):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(1)
+        assert "dryrun_multichip OK" in capsys.readouterr().out
