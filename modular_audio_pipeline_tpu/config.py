@@ -117,6 +117,7 @@ class TranscriptionConfig:
     batch_size: int = 16  # 30 s windows decoded together per device
     weights_path: Optional[str] = None  # converted checkpoint dir (offline)
     max_decode_tokens: int = 224  # static decode-loop bound per 30 s window
+    word_timestamps: bool = True  # cross-attention DTW word alignment
 
 
 @dataclass

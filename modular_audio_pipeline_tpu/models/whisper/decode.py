@@ -372,26 +372,41 @@ def _beam_jit(
 # Public entry
 # ---------------------------------------------------------------------------
 
-def decode_windows(
-    params,
-    dims: WhisperDims,
-    tokenizer: WhisperTokenizer,
-    mel: jnp.ndarray,  # [B, n_mels, 3000]
-    opts: DecodeOptions,
-    rng: Optional[jnp.ndarray] = None,
-) -> DecodeResult:
-    """Encode + decode a batch of 30 s mel windows. Returns host arrays."""
-    xa = encoder_forward(params, dims, mel)
-    xa_k, xa_v = cross_kv(params, dims, xa)
-
+def build_initial_tokens(
+    tokenizer: WhisperTokenizer, opts: DecodeOptions
+) -> Tuple[List[int], int]:
+    """Conditioning sequence ([prev-prompt] + SOT block) and SOT position."""
     sot_seq = tokenizer.sot_sequence(opts.language, opts.task, opts.timestamps)
     prefix = list(opts.prompt_tokens)
     if prefix:
         prefix = [tokenizer.sot_prev] + prefix
     initial = prefix + sot_seq
-    sot_index = len(initial) - len(sot_seq)  # position of SOT in the prompt
+    return initial, len(initial) - len(sot_seq)
 
-    b = mel.shape[0]
+
+def decode_windows(
+    params,
+    dims: WhisperDims,
+    tokenizer: WhisperTokenizer,
+    mel: Optional[jnp.ndarray],  # [B, n_mels, 3000]
+    opts: DecodeOptions,
+    rng: Optional[jnp.ndarray] = None,
+    audio_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+) -> DecodeResult:
+    """Encode + decode a batch of 30 s mel windows. Returns host arrays.
+
+    ``audio_kv`` = precomputed (xa_k, xa_v) skips the encoder (used when
+    the caller also needs the audio KV, e.g. for word-timestamp
+    alignment)."""
+    if audio_kv is not None:
+        xa_k, xa_v = audio_kv
+    else:
+        xa = encoder_forward(params, dims, mel)
+        xa_k, xa_v = cross_kv(params, dims, xa)
+
+    initial, sot_index = build_initial_tokens(tokenizer, opts)
+
+    b = xa_k.shape[1]
     suppress_mask, blank_mask = _build_filter_tables(tokenizer, opts, dims.n_vocab)
 
     max_initial_ts_tok = tokenizer.timestamp_begin + int(

@@ -2,15 +2,20 @@
 
 Every analysis op in the pipeline — STFT, VAD features, noise detection,
 loudness blocks — starts by slicing the waveform into overlapping frames.
-XLA compiles ``conv_general_dilated_patches``-style gathers poorly for 1-D
-audio, so we frame with a single strided ``dynamic_slice``-free reshape
-trick: gather indices are computed once at trace time (static shapes), and
-the gather lowers to an efficient TPU copy.
+
+Framing is built from **strided slices over base blocks** rather than a
+gather: with g = gcd(frame, hop), the signal reshapes to [n/g, g] blocks
+and each frame is ``fb = frame/g`` consecutive blocks starting every
+``hb = hop/g`` blocks, so ``fb`` strided slices + one stack produce all
+frames. A trace-time gather index array would weigh
+``n_frames x frame_length`` ints — hundreds of MB of HLO constants for
+long audio, which this backend's compile service rejects outright.
 """
 
 from __future__ import annotations
 
 import functools
+from math import gcd
 
 import jax.numpy as jnp
 import numpy as np
@@ -33,8 +38,18 @@ def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
     """
     n = x.shape[-1]
     nf = num_frames(n, frame_length, hop)
-    idx = np.arange(frame_length)[None, :] + hop * np.arange(nf)[:, None]
-    return x[..., idx]
+    if nf == 0:
+        return jnp.zeros(x.shape[:-1] + (0, frame_length), dtype=x.dtype)
+
+    g = gcd(frame_length, hop)
+    fb, hb = frame_length // g, hop // g
+    n_blocks = n // g
+    x2 = x[..., : n_blocks * g].reshape(x.shape[:-1] + (n_blocks, g))
+
+    last = (nf - 1) * hb  # block index of the final frame's first block
+    parts = [x2[..., j : j + last + 1 : hb, :] for j in range(fb)]
+    frames = jnp.stack(parts, axis=-2)  # [..., nf, fb, g]
+    return frames.reshape(x.shape[:-1] + (nf, frame_length))
 
 
 @functools.lru_cache(maxsize=32)
@@ -53,10 +68,19 @@ def hann_window(n: int, periodic: bool = True) -> jnp.ndarray:
 def overlap_add(frames: jnp.ndarray, hop: int, out_len: int) -> jnp.ndarray:
     """Overlap-add frames ``[..., n_frames, frame_length]`` back to a signal.
 
-    Used by iSTFT. Implemented as a scatter-add with trace-time indices.
+    Used by iSTFT. Same base-block decomposition as :func:`frame_signal`:
+    ``fb`` strided-slice accumulations instead of a scatter with a huge
+    trace-time index constant.
     """
     nf, fl = frames.shape[-2], frames.shape[-1]
-    idx = (np.arange(fl)[None, :] + hop * np.arange(nf)[:, None]).reshape(-1)
-    flat = frames.reshape(frames.shape[:-2] + (nf * fl,))
-    out = jnp.zeros(frames.shape[:-2] + (out_len,), dtype=frames.dtype)
-    return out.at[..., idx].add(flat)
+    g = gcd(fl, hop)
+    fb, hb = fl // g, hop // g
+    n_blocks = out_len // g
+    assert n_blocks * g == out_len, "out_len must be a multiple of gcd(frame, hop)"
+
+    frames3 = frames.reshape(frames.shape[:-2] + (nf, fb, g))
+    out = jnp.zeros(frames.shape[:-2] + (n_blocks, g), dtype=frames.dtype)
+    last = (nf - 1) * hb
+    for j in range(fb):
+        out = out.at[..., j : j + last + 1 : hb, :].add(frames3[..., :, j, :])
+    return out.reshape(frames.shape[:-2] + (out_len,))

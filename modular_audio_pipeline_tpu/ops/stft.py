@@ -14,9 +14,28 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
+from functools import lru_cache
+from math import gcd
+
 from .framing import _hann_np, frame_signal, hann_window, overlap_add
 
 __all__ = ["stft", "istft"]
+
+
+@lru_cache(maxsize=16)
+def _nola_norm(win_sq_key: tuple, n_fft: int, hop: int, nf: int, out_len: int) -> np.ndarray:
+    """Sum of squared synthesis windows at each output sample (vectorised
+    block accumulation — no giant index arrays)."""
+    win_sq = np.asarray(win_sq_key, dtype=np.float64) ** 2
+    g = gcd(n_fft, hop)
+    fb, hb = n_fft // g, hop // g
+    blocks = win_sq.reshape(fb, g)
+    norm = np.zeros((out_len // g, g), dtype=np.float64)
+    last = (nf - 1) * hb
+    for j in range(fb):
+        norm[j : j + last + 1 : hb] += blocks[j]
+    norm = norm.reshape(-1)
+    return np.where(norm > 1e-11, norm, 1.0).astype(np.float32)
 
 
 def stft(
@@ -71,12 +90,8 @@ def istft(
     out_len = n_fft + hop * (nf - 1)
     sig = overlap_add(frames, hop, out_len)
 
-    # Window-sum normalisation (NOLA).
-    win_sq = win_np**2
-    norm = np.zeros(out_len, dtype=np.float64)
-    idx = (np.arange(n_fft)[None, :] + hop * np.arange(nf)[:, None]).reshape(-1)
-    np.add.at(norm, idx, np.tile(win_sq, nf))
-    norm = np.where(norm > 1e-11, norm, 1.0).astype(np.float32)
+    # Window-sum normalisation (NOLA), block-accumulated on host and cached.
+    norm = jnp.asarray(_nola_norm(tuple(win_np.tolist()), n_fft, hop, nf, out_len))
     sig = sig / norm
 
     if center:

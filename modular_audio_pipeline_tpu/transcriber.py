@@ -81,8 +81,10 @@ class JaxWhisperBackend:
         batch_size: int = 16,
         max_decode_tokens: int = 224,
         timestamps: bool = True,
+        word_timestamps: bool = False,  # cross-attention DTW word alignment
         mesh=None,  # jax.sharding.Mesh: shard window batches on its 'data' axis
     ):
+        self.word_timestamps = word_timestamps
         if model_name not in WHISPER_DIMS:
             raise ModelLoadError(f"Unknown Whisper model: {model_name}")
         self.mesh = mesh
@@ -229,8 +231,17 @@ class JaxWhisperBackend:
             else:
                 batch_dev = jnp.asarray(batch)
             mel = log_mel(batch_dev, n_mels=self.dims.n_mels)
+
+            audio_kv = None
+            if self.word_timestamps:
+                from .models.whisper.model import cross_kv, encoder_forward
+
+                xa = encoder_forward(self.params, self.dims, mel)
+                audio_kv = cross_kv(self.params, self.dims, xa)
+
             result = decode_windows(
-                self.params, self.dims, self.tokenizer, mel, opts
+                self.params, self.dims, self.tokenizer, mel, opts,
+                audio_kv=audio_kv,
             )
             for i in range(b):
                 offset = (start + i) * _WINDOW_S
@@ -238,6 +249,10 @@ class JaxWhisperBackend:
                 segs = self._parse_window(
                     result.tokens[i], float(result.avg_logprobs[i]), offset, win_dur
                 )
+                if self.word_timestamps and segs:
+                    self._attach_words(
+                        segs, result.tokens[i], audio_kv, i, opts, offset
+                    )
                 segments.extend(segs)
                 texts.extend(s["text"] for s in segs)
 
@@ -247,6 +262,41 @@ class JaxWhisperBackend:
             "language": self.language,
             "duration": duration,
         }
+
+    def _attach_words(
+        self, segs: List[Dict[str, Any]], tokens, audio_kv, window_idx: int,
+        opts, offset: float,
+    ) -> None:
+        """DTW word alignment for one window; refines segment boundaries
+        and attaches a ``words`` list to each segment."""
+        from .models.whisper.decode import build_initial_tokens
+        from .models.whisper.timestamps import align_words
+
+        xa_k, xa_v = audio_kv
+        prefix, _ = build_initial_tokens(self.tokenizer, opts)
+        i = window_idx
+        words = align_words(
+            self.params, self.dims, self.tokenizer,
+            xa_k[:, i : i + 1], xa_v[:, i : i + 1],
+            [int(t) for t in tokens], prefix,
+        )
+        if not words:
+            return
+        for seg in segs:
+            s0 = seg["start"] - offset
+            s1 = seg["end"] - offset
+            inside = [
+                {"word": w["word"],
+                 "start": round(w["start"] + offset, 3),
+                 "end": round(w["end"] + offset, 3)}
+                for w in words
+                if s0 - 0.2 <= (w["start"] + w["end"]) / 2 <= s1 + 0.2
+            ]
+            if inside:
+                seg["words"] = inside
+                # word-level boundaries are tighter than timestamp tokens
+                seg["start"] = min(seg["start"], inside[0]["start"])
+                seg["end"] = max(seg["end"], inside[-1]["end"])
 
     def _parse_window(
         self, tokens: np.ndarray, avg_logprob: float, offset: float, win_dur: float
@@ -329,6 +379,7 @@ class WhisperTranscriber:
         weights_path: Optional[str] = None,
         batch_size: int = 16,
         mesh=None,
+        word_timestamps: bool = True,
     ) -> None:
         self.model_name = model_name
         self.language = language
@@ -358,6 +409,7 @@ class WhisperTranscriber:
             weights_path=weights_path,
             batch_size=batch_size,
             mesh=mesh,
+            word_timestamps=word_timestamps,
         )
         if not lazy_load:
             self.load_model()
@@ -375,6 +427,7 @@ class WhisperTranscriber:
             weights_path=config.transcription.weights_path,
             batch_size=config.transcription.batch_size,
             mesh=_mesh_from_config(config),
+            word_timestamps=config.transcription.word_timestamps,
         )
 
     def is_loaded(self) -> bool:
@@ -449,6 +502,7 @@ class FasterWhisperTranscriber:
         batch_size: int = 16,
         vad_filter: bool = True,
         mesh=None,
+        word_timestamps: bool = True,
     ):
         self.model_name = model_name
         self.device = device
@@ -466,6 +520,7 @@ class FasterWhisperTranscriber:
             compute_dtype=compute,
             batch_size=batch_size,
             mesh=mesh,
+            word_timestamps=word_timestamps,
         )
         if not lazy_load:
             self.load_model()
@@ -485,6 +540,7 @@ class FasterWhisperTranscriber:
             weights_path=config.transcription.weights_path,
             batch_size=config.transcription.batch_size,
             mesh=_mesh_from_config(config),
+            word_timestamps=config.transcription.word_timestamps,
         )
 
     def is_loaded(self) -> bool:

@@ -1,0 +1,107 @@
+"""Word-timestamp alignment tests: DTW (python + native) and the
+end-to-end words attachment."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from modular_audio_pipeline_tpu.models.whisper.config import WHISPER_DIMS
+from modular_audio_pipeline_tpu.models.whisper.model import cross_kv, encoder_forward, init_params
+from modular_audio_pipeline_tpu.models.whisper.timestamps import (
+    align_words,
+    dtw_path,
+    dtw_path_python,
+)
+from modular_audio_pipeline_tpu.models.whisper.tokenizer import DummyTokenizer
+from modular_audio_pipeline_tpu.ops.mel import log_mel
+from modular_audio_pipeline_tpu.runtime.native_lib import have_native, native_dtw_path
+
+
+class TestDTW:
+    def test_diagonal_identity(self):
+        # Strong diagonal: path should follow it
+        n = 10
+        cost = np.ones((n, n)) - np.eye(n)
+        cols = dtw_path_python(cost)
+        np.testing.assert_array_equal(cols, np.arange(n))
+
+    def test_monotonic_nondecreasing(self, rng):
+        cost = rng.random((20, 50))
+        cols = dtw_path_python(cost)
+        assert (np.diff(cols) >= 0).all()
+        assert cols[0] >= 0 and cols[-1] <= 49
+
+    def test_block_alignment(self):
+        # tokens 0-1 attend frames 0-4, tokens 2-3 attend frames 5-9
+        cost = np.ones((4, 10))
+        cost[0:2, 0:5] = 0.0
+        cost[2:4, 5:10] = 0.0
+        cols = dtw_path_python(cost)
+        assert cols[0] < 5 and cols[1] < 5
+        assert cols[2] >= 5 and cols[3] >= 5
+
+    @pytest.mark.skipif(not have_native(), reason="native runtime unavailable")
+    def test_native_matches_python(self, rng):
+        for shape in [(5, 8), (30, 100), (64, 300)]:
+            cost = rng.random(shape)
+            np.testing.assert_array_equal(
+                native_dtw_path(cost), dtw_path_python(cost)
+            )
+
+    @pytest.mark.skipif(not have_native(), reason="native runtime unavailable")
+    def test_native_is_used_by_default(self, rng):
+        cost = rng.random((16, 40))
+        np.testing.assert_array_equal(dtw_path(cost), dtw_path_python(cost))
+
+
+class TestAlignWords:
+    def test_align_words_end_to_end(self, rng):
+        dims = WHISPER_DIMS["test-tiny"]
+        params = init_params(dims, seed=0, dtype=jnp.float32)
+        tok = DummyTokenizer()
+
+        audio = (0.1 * rng.standard_normal(16000 * 30)).astype(np.float32)
+        mel = log_mel(jnp.asarray(audio)[None])
+        xa = encoder_forward(params, dims, mel)
+        xa_k, xa_v = cross_kv(params, dims, xa)
+
+        prefix = tok.sot_sequence("en")
+        ts = tok.timestamp_begin
+        tokens = [ts, 300, 301, 302, ts + 100, ts + 100, 310, ts + 200, tok.eot]
+        words = align_words(params, dims, tok, xa_k, xa_v, tokens, prefix)
+
+        assert words, "expected aligned words"
+        for w in words:
+            assert 0.0 <= w["start"] <= w["end"] <= 30.0
+            assert w["word"]
+        # words in emission order have non-decreasing starts
+        starts = [w["start"] for w in words]
+        assert starts == sorted(starts)
+
+    def test_no_text_tokens(self):
+        dims = WHISPER_DIMS["test-tiny"]
+        params = init_params(dims, seed=0, dtype=jnp.float32)
+        tok = DummyTokenizer()
+        xa_k = jnp.zeros((dims.n_text_layer, 1, dims.n_text_head, 1500, 32))
+        xa_v = jnp.zeros_like(xa_k)
+        assert align_words(params, dims, tok, xa_k, xa_v, [tok.eot], [tok.sot]) == []
+
+
+class TestWordsInPipeline:
+    def test_backend_attaches_words(self, rng, tmp_path):
+        from modular_audio_pipeline_tpu.audio_io import write_wav
+        from modular_audio_pipeline_tpu.transcriber import JaxWhisperBackend
+
+        audio = (0.1 * rng.standard_normal(16000 * 32)).astype(np.float32)
+        backend = JaxWhisperBackend(
+            "test-tiny", language="en", beam_size=1, weights_path="random:0",
+            batch_size=2, max_decode_tokens=24, word_timestamps=True,
+        )
+        result = backend.transcribe_array(audio, 16000)
+        with_words = [s for s in result["segments"] if "words" in s]
+        if result["segments"]:
+            assert with_words, "expected word lists on segments"
+            for seg in with_words:
+                for w in seg["words"]:
+                    assert w["start"] <= w["end"]
