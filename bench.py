@@ -98,10 +98,8 @@ def main() -> None:
     )
 
     def run_once() -> int:
-        # --- DSP preprocessing chain (device kernels, bucketed) ---
-        x = pre.reduce_stationary_noise_array(audio, SR)
-        x, _ = pre.normalize_audio_array(x, SR)
-        x, _ = pre.normalize_loudness_array(x, SR)
+        # --- DSP preprocessing chain (one fused device program) ---
+        x, _stats = pre.preprocess_chain_array(audio, SR)
         from modular_audio_pipeline_tpu.ops.silence import remove_silence
 
         x, _, changed = remove_silence(x, SR)

@@ -131,17 +131,27 @@ class SpeakerDiarizer(DiarizerProtocol):
         return out
 
     def _embed_all(self, audio: np.ndarray, sr: int, spans: List[tuple]) -> np.ndarray:
+        """Embed every subsegment in ONE device call.
+
+        The subsegment count is padded to a power-of-two bucket (>= the
+        configured batch size) so the program compiles once per bucket;
+        per-batch loops would pay this backend's dispatch latency dozens
+        of times per file."""
         win = int(_SUBSEG_S * sr)
-        batch_size = self.embedding_batch_size
-        embs = []
-        for i in range(0, len(spans), batch_size):
-            chunk = spans[i : i + batch_size]
-            batch = np.zeros((batch_size, win), dtype=np.float32)  # fixed shape
+        max_batch = 1024  # ~100 MB of f32 subsegments per call
+        out = []
+        for i in range(0, len(spans), max_batch):
+            chunk = spans[i : i + max_batch]
+            n = len(chunk)
+            bucket = min(
+                max_batch, max(self.embedding_batch_size, 1 << (n - 1).bit_length())
+            )
+            batch = np.zeros((bucket, win), dtype=np.float32)
             for j, (s, e) in enumerate(chunk):
                 seg = audio[s:e]
                 batch[j, : len(seg)] = seg[:win]
-            embs.append(self._embedder.embed(batch)[: len(chunk)])
-        return np.concatenate(embs, axis=0)
+            out.append(self._embedder.embed(batch)[:n])
+        return np.concatenate(out, axis=0)
 
     # -- protocol ----------------------------------------------------------------
 

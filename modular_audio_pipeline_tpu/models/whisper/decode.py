@@ -28,11 +28,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import lru_cache
+
 from .config import WhisperDims
 from .model import KVCache, cross_kv, decoder_forward, encoder_forward
 from .tokenizer import WhisperTokenizer
 
-__all__ = ["DecodeOptions", "DecodeResult", "decode_windows"]
+__all__ = ["DecodeOptions", "DecodeResult", "decode_windows", "encode_audio_kv"]
+
+
+@lru_cache(maxsize=4)
+def _encode_kv_jit(dims: WhisperDims):
+    """Jitted encoder + cross-KV projection (cached per model dims)."""
+
+    @jax.jit
+    def run(params, mel):
+        xa = encoder_forward(params, dims, mel)
+        return cross_kv(params, dims, xa)
+
+    return run
+
+
+def encode_audio_kv(params, dims: WhisperDims, mel):
+    """mel [B, n_mels, 3000] -> (xa_k, xa_v), one fused jitted program."""
+    return _encode_kv_jit(dims)(params, mel)
 
 _NEG_INF = jnp.float32(-1e9)
 
@@ -372,6 +391,36 @@ def _beam_jit(
 # Public entry
 # ---------------------------------------------------------------------------
 
+def detect_language(
+    params,
+    dims: WhisperDims,
+    tokenizer: WhisperTokenizer,
+    mel: jnp.ndarray,  # [B, n_mels, 3000]
+) -> Tuple[str, Dict[str, float]]:
+    """Single-step language ID: distribution over language tokens after SOT.
+
+    Mirrors whisper's ``detect_language`` (the reference exposes this via
+    faster-whisper's automatic detection when no language is forced).
+    Returns (language_code, {code: prob}) using the batch-mean distribution.
+    """
+    from .tokenizer import LANGUAGES
+
+    xa = encoder_forward(params, dims, mel)
+    xa_k, xa_v = cross_kv(params, dims, xa)
+    b = mel.shape[0]
+    sot = jnp.full((b, 1), tokenizer.sot, dtype=jnp.int32)
+    cache = KVCache.zeros(dims, b, params["decoder"]["tok_emb"].dtype, ctx=8)
+    logits, _ = decoder_forward(params, dims, sot, xa_k, xa_v, cache)
+
+    n_lang = tokenizer.special.n_languages
+    start = tokenizer.special.language_start
+    lang_logits = logits[:, 0, start : start + n_lang].astype(jnp.float32)
+    probs = np.asarray(jax.nn.softmax(lang_logits, axis=-1)).mean(axis=0)
+    best = int(np.argmax(probs))
+    table = {LANGUAGES[i]: float(probs[i]) for i in range(n_lang)}
+    return LANGUAGES[best], table
+
+
 def build_initial_tokens(
     tokenizer: WhisperTokenizer, opts: DecodeOptions
 ) -> Tuple[List[int], int]:
@@ -401,8 +450,7 @@ def decode_windows(
     if audio_kv is not None:
         xa_k, xa_v = audio_kv
     else:
-        xa = encoder_forward(params, dims, mel)
-        xa_k, xa_v = cross_kv(params, dims, xa)
+        xa_k, xa_v = encode_audio_kv(params, dims, mel)
 
     initial, sot_index = build_initial_tokens(tokenizer, opts)
 
@@ -431,10 +479,10 @@ def decode_windows(
     if opts.beam_size > 1 and opts.temperature == 0.0:
         k = opts.beam_size
         init = jnp.tile(jnp.asarray(initial, jnp.int32)[None], (b * k, 1))
-        xa_k_t = jnp.repeat(xa_k, k, axis=1)
-        xa_v_t = jnp.repeat(xa_v, k, axis=1)
+        # xa_k/xa_v stay at batch B: the decoder's grouped cross-attention
+        # shares audio K/V across beams (model.decoder_forward).
         tokens, sum_lp, ns_prob = _beam_jit(
-            params, dims, xa_k_t, xa_v_t, init, sot_index,
+            params, dims, xa_k, xa_v, init, sot_index,
             suppress_mask, blank_mask, opts_key,
         )
         tokens = np.asarray(tokens).reshape(b, k, -1)

@@ -258,11 +258,30 @@ def decoder_forward(
         y = _merge_heads(_attention(q, ck, cv, self_mask[None, None]))
         x = resid + _linear(y, p["attn"]["o_w"], p["attn"]["o_b"])
 
-        # Cross-attention over precomputed audio K/V.
+        # Cross-attention over precomputed audio K/V. When the token batch
+        # is a beam-expanded multiple of the audio batch (B*K vs B), the
+        # audio K/V is SHARED across beams via a grouped einsum instead of
+        # being materialised K times (the cross-KV is the largest buffer in
+        # beam decoding: ~2.5 GB for 16 windows of large-v3-turbo).
         resid = x
         y = _layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])
         qx = _split_heads(_linear(y, p["cross"]["q_w"], p["cross"]["q_b"]), h)
-        if return_cross_probs:
+        groups = qx.shape[0] // xk.shape[0]
+        scale = qx.shape[-1] ** -0.25
+        if groups > 1:
+            qg = qx.reshape((xk.shape[0], groups) + qx.shape[1:])
+            logits_x = jnp.einsum(
+                "bghqd,bhkd->bghqk", qg * scale, xk * scale,
+                preferred_element_type=jnp.float32,
+            )
+            probs_x = jax.nn.softmax(logits_x, axis=-1)
+            y = jnp.einsum(
+                "bghqk,bhkd->bghqd", probs_x.astype(x.dtype), xv,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            y = y.reshape(qx.shape)
+            probs = jnp.zeros((), dtype=jnp.float32)
+        elif return_cross_probs:
             probs = _attention_probs(qx, xk, None)
             y = jnp.einsum(
                 "bhqk,bhkd->bhqd", probs.astype(x.dtype), xv,

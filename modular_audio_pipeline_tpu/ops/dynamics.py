@@ -9,6 +9,9 @@ over exactly.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 __all__ = ["dbfs", "peak_dbfs", "peak_normalize"]
@@ -33,6 +36,7 @@ def peak_dbfs(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+@partial(jax.jit, static_argnames=("headroom_db",))
 def peak_normalize(x: jnp.ndarray, headroom_db: float = 0.1) -> jnp.ndarray:
     """Scale so the peak sits ``headroom_db`` below full scale.
 

@@ -29,7 +29,7 @@ import numpy as np
 
 __all__ = ["biquad_filter", "sosfilt"]
 
-_CHUNK = 1 << 17  # 131072 samples per parallel block
+_CHUNK = 1 << 20  # samples per parallel block (fewer sequential chunk steps)
 
 
 def _fir_part(x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -61,14 +61,19 @@ def detect_noise_segments(audio: np.ndarray, sr: int) -> List[Tuple[int, int]]:
     zcr_threshold = np.percentile(zcrs, 50)
     noise_frames = (energies < energy_threshold) & (zcrs > zcr_threshold * 0.5)
 
-    segments: List[Tuple[int, int]] = []
-    in_noise = False
-    start_frame = 0
-    for i, is_noise in enumerate(noise_frames):
-        if is_noise and not in_noise:
-            start_frame, in_noise = i, True
-        elif not is_noise and in_noise:
-            if (i - start_frame) * hop / sr >= 0.1:  # >= 100 ms
-                segments.append((start_frame * hop, i * hop))
-            in_noise = False
+    # Vectorised run extraction (the reference's per-frame python loop is
+    # O(hours) of interpreter time on long audio). A trailing open run is
+    # intentionally dropped, matching the reference loop's behaviour
+    # (preprocessor.py:135-145 never closes a run at EOF).
+    flags = np.concatenate([[False], noise_frames])
+    edges = np.diff(flags.astype(np.int8))
+    starts = np.flatnonzero(edges == 1)
+    ends = np.flatnonzero(edges == -1)
+    n_pairs = len(ends)  # pairs only; open tail excluded
+    min_frames = int(np.ceil(0.1 * sr / hop))
+    segments: List[Tuple[int, int]] = [
+        (int(s) * hop, int(e) * hop)
+        for s, e in zip(starts[:n_pairs], ends)
+        if (e - s) * hop / sr >= 0.1
+    ]
     return segments

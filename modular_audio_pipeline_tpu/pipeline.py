@@ -245,6 +245,16 @@ class AudioPipeline:
     # -- main entry -------------------------------------------------------------
 
     def run(self, input_file: Optional[str] = None) -> PipelineResult:
+        """Execute the full pipeline; never raises — failures come back as
+        ``PipelineResult(success=False)``."""
+        if self.config.tpu.profile_dir:
+            import jax
+
+            with jax.profiler.trace(self.config.tpu.profile_dir):
+                return self._run_impl(input_file)
+        return self._run_impl(input_file)
+
+    def _run_impl(self, input_file: Optional[str] = None) -> PipelineResult:
         timer = _StageTimer()
         run_start = time.perf_counter()
         try:

@@ -190,8 +190,18 @@ class JaxWhisperBackend:
         windows = self._windows(audio)
         n_win = windows.shape[0]
 
+        language = self.language
+        if language in (None, "", "auto"):
+            from .models.whisper.decode import detect_language
+
+            first_mel = log_mel(jnp.asarray(windows[:1]), n_mels=self.dims.n_mels)
+            language, _ = detect_language(
+                self.params, self.dims, self.tokenizer, first_mel
+            )
+            logger.info("Detected language: %s", language)
+
         opts = DecodeOptions(
-            language=self.language,
+            language=language,
             task=self.task,
             beam_size=self.beam_size,
             temperature=self.temperature,
@@ -234,10 +244,9 @@ class JaxWhisperBackend:
 
             audio_kv = None
             if self.word_timestamps:
-                from .models.whisper.model import cross_kv, encoder_forward
+                from .models.whisper.decode import encode_audio_kv
 
-                xa = encoder_forward(self.params, self.dims, mel)
-                audio_kv = cross_kv(self.params, self.dims, xa)
+                audio_kv = encode_audio_kv(self.params, self.dims, mel)
 
             result = decode_windows(
                 self.params, self.dims, self.tokenizer, mel, opts,
@@ -259,7 +268,7 @@ class JaxWhisperBackend:
         return {
             "text": " ".join(t for t in texts if t),
             "segments": segments,
-            "language": self.language,
+            "language": language,
             "duration": duration,
         }
 
