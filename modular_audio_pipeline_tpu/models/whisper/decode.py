@@ -178,7 +178,10 @@ def _decode_loop(
     timestamps = opts_static["timestamps"]
     temperature = opts_static["temperature"]
 
-    cache = KVCache.zeros(dims, b, dtype=params["decoder"]["tok_emb"].dtype)
+    # Cache sized to prompt + decode budget (rounded up): the full 448-slot
+    # cache would be read every step, mostly as zeros.
+    ctx = min(dims.n_text_ctx, ((p + max_new + 63) // 64) * 64)
+    cache = KVCache.zeros(dims, b, dtype=params["decoder"]["tok_emb"].dtype, ctx=ctx)
 
     # Prefill: run the prompt; collect no-speech prob at the SOT position.
     logits, cache = decoder_forward(params, dims, initial_tokens, xa_k, xa_v, cache)
@@ -288,7 +291,8 @@ def _beam_loop(
     ts_begin = opts_static["ts_begin"]
     timestamps = opts_static["timestamps"]
 
-    cache = KVCache.zeros(dims, bk, dtype=params["decoder"]["tok_emb"].dtype)
+    ctx = min(dims.n_text_ctx, ((p + max_new + 63) // 64) * 64)
+    cache = KVCache.zeros(dims, bk, dtype=params["decoder"]["tok_emb"].dtype, ctx=ctx)
     logits, cache = decoder_forward(params, dims, initial_tokens, xa_k, xa_v, cache)
     sot_logits = logits[:, sot_index].astype(jnp.float32)
     no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, opts_static["no_speech"]]
@@ -433,7 +437,7 @@ def build_initial_tokens(
     return initial, len(initial) - len(sot_seq)
 
 
-def decode_windows(
+def decode_windows_async(
     params,
     dims: WhisperDims,
     tokenizer: WhisperTokenizer,
@@ -441,12 +445,13 @@ def decode_windows(
     opts: DecodeOptions,
     rng: Optional[jnp.ndarray] = None,
     audio_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-) -> DecodeResult:
-    """Encode + decode a batch of 30 s mel windows. Returns host arrays.
+):
+    """Dispatch encode + decode for one batch; returns device arrays.
 
-    ``audio_kv`` = precomputed (xa_k, xa_v) skips the encoder (used when
-    the caller also needs the audio KV, e.g. for word-timestamp
-    alignment)."""
+    JAX dispatch is asynchronous, so callers can launch several batches
+    back-to-back and keep the device busy, then finalize each with
+    :func:`finalize_decode` (the only host sync point).
+    """
     if audio_kv is not None:
         xa_k, xa_v = audio_kv
     else:
@@ -476,7 +481,8 @@ def decode_windows(
         )
     )
 
-    if opts.beam_size > 1 and opts.temperature == 0.0:
+    beam = opts.beam_size > 1 and opts.temperature == 0.0
+    if beam:
         k = opts.beam_size
         init = jnp.tile(jnp.asarray(initial, jnp.int32)[None], (b * k, 1))
         # xa_k/xa_v stay at batch B: the decoder's grouped cross-attention
@@ -485,15 +491,6 @@ def decode_windows(
             params, dims, xa_k, xa_v, init, sot_index,
             suppress_mask, blank_mask, opts_key,
         )
-        tokens = np.asarray(tokens).reshape(b, k, -1)
-        sum_lp = np.asarray(sum_lp).reshape(b, k)
-        lengths = (tokens != tokenizer.eot).sum(axis=-1)
-        # length-normalised selection (whisper's default total/length)
-        norm = sum_lp / np.maximum(lengths, 1)
-        best = norm.argmax(axis=1)
-        tokens = tokens[np.arange(b), best]
-        sum_lp = sum_lp[np.arange(b), best]
-        ns_prob = np.asarray(ns_prob)
     else:
         init = jnp.tile(jnp.asarray(initial, jnp.int32)[None], (b, 1))
         tokens, sum_lp, ns_prob = _greedy_jit(
@@ -501,11 +498,30 @@ def decode_windows(
             suppress_mask, blank_mask, opts_key,
             rng if rng is not None else jax.random.PRNGKey(0),
         )
-        tokens = np.asarray(tokens)
-        sum_lp = np.asarray(sum_lp)
-        ns_prob = np.asarray(ns_prob)
+    return {"tokens": tokens, "sum_lp": sum_lp, "ns_prob": ns_prob,
+            "beam": beam, "b": b, "k": opts.beam_size, "eot": tokenizer.eot}
 
-    lengths = (tokens != tokenizer.eot).sum(axis=-1).astype(np.int64)
+
+def finalize_decode(pending) -> DecodeResult:
+    """Host side of :func:`decode_windows_async`: beam selection + stats."""
+    b, eot = pending["b"], pending["eot"]
+    if pending["beam"]:
+        k = pending["k"]
+        tokens = np.asarray(pending["tokens"]).reshape(b, k, -1)
+        sum_lp = np.asarray(pending["sum_lp"]).reshape(b, k)
+        lengths = (tokens != eot).sum(axis=-1)
+        # length-normalised selection (whisper's default total/length)
+        norm = sum_lp / np.maximum(lengths, 1)
+        best = norm.argmax(axis=1)
+        tokens = tokens[np.arange(b), best]
+        sum_lp = sum_lp[np.arange(b), best]
+        ns_prob = np.asarray(pending["ns_prob"])
+    else:
+        tokens = np.asarray(pending["tokens"])
+        sum_lp = np.asarray(pending["sum_lp"])
+        ns_prob = np.asarray(pending["ns_prob"])
+
+    lengths = (tokens != eot).sum(axis=-1).astype(np.int64)
     avg = sum_lp / np.maximum(lengths + 1, 1)  # +1 for EOT, as whisper does
     return DecodeResult(
         tokens=tokens.astype(np.int32),
@@ -513,4 +529,19 @@ def decode_windows(
         sum_logprobs=sum_lp.astype(np.float32),
         avg_logprobs=avg.astype(np.float32),
         no_speech_probs=ns_prob.astype(np.float32),
+    )
+
+
+def decode_windows(
+    params,
+    dims: WhisperDims,
+    tokenizer: WhisperTokenizer,
+    mel: Optional[jnp.ndarray],
+    opts: DecodeOptions,
+    rng: Optional[jnp.ndarray] = None,
+    audio_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+) -> DecodeResult:
+    """Encode + decode one batch of 30 s mel windows (synchronous)."""
+    return finalize_decode(
+        decode_windows_async(params, dims, tokenizer, mel, opts, rng, audio_kv)
     )

@@ -217,7 +217,10 @@ class JaxWhisperBackend:
         if self.mesh is not None and "data" in self.mesh.axis_names:
             n_data = self.mesh.shape["data"]
 
-        for start in range(0, n_win, self.batch_size):
+        from .models.whisper.decode import decode_windows_async, finalize_decode
+
+        def dispatch(start: int):
+            """Launch one window batch (async); returns finalize context."""
             batch = windows[start : start + self.batch_size]
             b = batch.shape[0]
             # Bucket the batch dim so jit compiles a bounded set of shapes;
@@ -227,19 +230,21 @@ class JaxWhisperBackend:
                 ((b + n_data - 1) // n_data) * n_data,
             )
             if bucket > b:
-                batch = np.concatenate(
+                padded = np.concatenate(
                     [batch, np.zeros((bucket - b, batch.shape[1]), np.float32)]
                 )
+            else:
+                padded = batch
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 import jax
 
                 batch_dev = jax.device_put(
-                    batch, NamedSharding(self.mesh, P("data", None))
+                    padded, NamedSharding(self.mesh, P("data", None))
                 )
             else:
-                batch_dev = jnp.asarray(batch)
+                batch_dev = jnp.asarray(padded)
             mel = log_mel(batch_dev, n_mels=self.dims.n_mels)
 
             audio_kv = None
@@ -248,10 +253,15 @@ class JaxWhisperBackend:
 
                 audio_kv = encode_audio_kv(self.params, self.dims, mel)
 
-            result = decode_windows(
+            pending = decode_windows_async(
                 self.params, self.dims, self.tokenizer, mel, opts,
                 audio_kv=audio_kv,
             )
+            return start, b, pending, audio_kv
+
+        def collect(ctx) -> None:
+            start, b, pending, audio_kv = ctx
+            result = finalize_decode(pending)
             for i in range(b):
                 offset = (start + i) * _WINDOW_S
                 win_dur = min(_WINDOW_S, duration - offset)
@@ -264,6 +274,17 @@ class JaxWhisperBackend:
                     )
                 segments.extend(segs)
                 texts.extend(s["text"] for s in segs)
+
+        # Keep up to `depth` batches in flight: JAX dispatch is async, so
+        # the device crunches batch k+1 while the host parses batch k.
+        depth = 1 if self.word_timestamps else 2  # audio_kv is large
+        in_flight: List[Any] = []
+        for start in range(0, n_win, self.batch_size):
+            in_flight.append(dispatch(start))
+            if len(in_flight) > depth:
+                collect(in_flight.pop(0))
+        for ctx in in_flight:
+            collect(ctx)
 
         return {
             "text": " ".join(t for t in texts if t),
