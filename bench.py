@@ -31,7 +31,7 @@ SR = 16000
 DECODE_TOKENS = 112
 BEAM = 5
 MODEL = "large-v3-turbo"
-RUNS = 3
+RUNS = 5
 BASELINE_RTF = 50.0
 
 
@@ -97,12 +97,22 @@ def main() -> None:
         timestamps=True,
     )
 
+    stage_t: dict = {}
+
+    def tick(name, t0):
+        stage_t[name] = stage_t.get(name, 0.0) + time.perf_counter() - t0
+        return time.perf_counter()
+
     def run_once() -> int:
+        stage_t.clear()
+        t0 = time.perf_counter()
         # --- DSP preprocessing chain (one fused device program) ---
         x, _stats = pre.preprocess_chain_array(audio, SR)
+        t0 = tick("dsp", t0)
         from modular_audio_pipeline_tpu.ops.silence import remove_silence
 
         x, _, changed = remove_silence(x, SR)
+        t0 = tick("silence", t0)
 
         # --- VAD (probabilities + hysteresis) ---
         timestamps = vad._timestamps(x, SR)
@@ -111,10 +121,17 @@ def main() -> None:
                 x[int(t["start"] * SR) : int(t["end"] * SR)] for t in timestamps
             ]
             x = np.concatenate(pieces)
+        t0 = tick("vad", t0)
 
         # --- transcription: windows -> mel -> encode -> beam decode ---
+        from modular_audio_pipeline_tpu.models.whisper.decode import (
+            decode_windows_async,
+            finalize_decode,
+        )
+
         windows = backend._windows(x)
         n_tokens = 0
+        pending = []
         for start in range(0, windows.shape[0], backend.batch_size):
             batch = windows[start : start + backend.batch_size]
             if batch.shape[0] < backend.batch_size:
@@ -123,8 +140,14 @@ def main() -> None:
                 )
                 batch = np.concatenate([batch, pad])
             mel = log_mel(jnp.asarray(batch), n_mels=backend.dims.n_mels)
-            result = decode_windows(backend.params, backend.dims, backend.tokenizer, mel, opts)
-            n_tokens += int(result.lengths.sum())
+            pending.append(
+                decode_windows_async(
+                    backend.params, backend.dims, backend.tokenizer, mel, opts
+                )
+            )
+        for p in pending:
+            n_tokens += int(finalize_decode(p).lengths.sum())
+        t0 = tick("transcribe", t0)
 
         # --- diarization: embeddings + clustering ---
         spans = diarizer._subsegments(x, SR)
@@ -135,6 +158,7 @@ def main() -> None:
             )
 
             cluster_embeddings(embs, 1, 5)
+        tick("diarize", t0)
         return n_tokens
 
     log("warmup (compiles)...")
@@ -148,7 +172,10 @@ def main() -> None:
         run_once()
         dt = time.perf_counter() - t0
         times.append(dt)
-        log(f"run {i + 1}/{RUNS}: {dt:.2f}s ({audio_seconds / dt:.1f}x realtime)")
+        log(
+            f"run {i + 1}/{RUNS}: {dt:.2f}s ({audio_seconds / dt:.1f}x realtime) "
+            f"stages={ {k: round(v, 2) for k, v in stage_t.items()} }"
+        )
 
     wall = float(np.median(times))
     rtf = audio_seconds / wall

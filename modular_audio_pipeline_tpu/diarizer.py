@@ -137,6 +137,17 @@ class SpeakerDiarizer(DiarizerProtocol):
         configured batch size) so the program compiles once per bucket;
         per-batch loops would pay this backend's dispatch latency dozens
         of times per file."""
+        from .models.diarization.embedding import StatsEmbedder
+
+        if isinstance(self._embedder, StatsEmbedder):
+            # Frame-wise fast path: one MFCC pass over the whole file, span
+            # statistics from host cumsums (no per-subsegment uploads).
+            frames = self._embedder.frame_features(audio, sr)
+            if frames.shape[0] > 1:
+                return self._embedder.embed_spans(
+                    frames, np.asarray(spans, dtype=np.int64), sr
+                )
+
         win = int(_SUBSEG_S * sr)
         max_batch = 1024  # ~100 MB of f32 subsegments per call
         out = []

@@ -53,6 +53,61 @@ class StatsEmbedder:
         """[B, N] float32 -> [B, D] unit-norm embeddings."""
         return np.asarray(self._embed(jnp.asarray(subsegments)))
 
+    # -- frame-wise fast path ------------------------------------------------
+
+    def frame_features(self, audio: np.ndarray, sr: int) -> np.ndarray:
+        """MFCC frames (c1..c19) over the whole signal: [T, 19].
+
+        One device pass + one small download; per-span statistics then
+        come from host cumulative sums (:meth:`embed_spans`) instead of
+        uploading every (overlapping) subsegment — the subsegment batches
+        duplicate ~2x the audio and dominate diarization wall time on
+        slow host<->device links.
+        """
+        from ...ops.bucketing import pad_to_bucket
+
+        frame_len = int(sr * 0.025)
+        hop = int(sr * 0.010)
+        n_valid = max(0, (len(audio) - frame_len) // hop + 1)
+        padded, _ = pad_to_bucket(np.asarray(audio, np.float32), sr)
+        m = np.asarray(mfcc_batch(jnp.asarray(padded)[None], sr=sr, n_mfcc=self.n_mfcc))
+        return m[0, :n_valid, 1:]
+
+    def embed_spans(
+        self, frames: np.ndarray, spans: np.ndarray, sr: int
+    ) -> np.ndarray:
+        """Embeddings for sample spans [N, 2] from global MFCC frames.
+
+        Statistics over a global 10 ms frame grid instead of per-subsegment
+        frames (alignment differs by <10 ms; the stats are insensitive).
+        """
+        hop = int(sr * 0.010)
+        t = frames.shape[0]
+        delta = np.diff(frames, axis=0)
+
+        def cum(x):
+            return np.concatenate([np.zeros((1, x.shape[1])), np.cumsum(x, axis=0)])
+
+        c1, c2 = cum(frames), cum(frames**2)
+        d1, d2 = cum(delta), cum(delta**2)
+
+        f_start = np.clip(spans[:, 0] // hop, 0, max(t - 1, 0))
+        f_end = np.clip(spans[:, 1] // hop, f_start + 1, t)
+        n = (f_end - f_start).astype(np.float64)[:, None]
+
+        mean = (c1[f_end] - c1[f_start]) / n
+        var = np.maximum((c2[f_end] - c2[f_start]) / n - mean**2, 0.0)
+
+        de = np.clip(f_end - 1, 1, max(t - 1, 1))
+        ds = np.minimum(f_start, de - 1)
+        dn = np.maximum(de - ds, 1).astype(np.float64)[:, None]
+        dmean = (d1[de] - d1[ds]) / dn
+        dvar = np.maximum((d2[de] - d2[ds]) / dn - dmean**2, 0.0)
+
+        emb = np.concatenate([mean, np.sqrt(var), dmean, np.sqrt(dvar)], axis=1)
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        return (emb / np.maximum(norm, 1e-8)).astype(np.float32)
+
 
 class ConvEmbedder:
     """Conv x-vector-style embedder (checkpoint-driven path)."""

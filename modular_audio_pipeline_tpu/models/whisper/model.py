@@ -170,13 +170,17 @@ def encoder_forward(params: Params, dims: WhisperDims, mel: jnp.ndarray) -> jnp.
 
     h = dims.n_audio_head
 
+    from ...ops.attention import flash_attention
+
     def block(x, p):
         resid = x
         y = _layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
         q = _split_heads(_linear(y, p["attn"]["q_w"], p["attn"]["q_b"]), h)
         k = _split_heads(_linear(y, p["attn"]["k_w"], None), h)
         v = _split_heads(_linear(y, p["attn"]["v_w"], p["attn"]["v_b"]), h)
-        y = _merge_heads(_attention(q, k, v, None))
+        # Pallas flash attention on TPU (XLA einsum elsewhere): the full
+        # 1500x1500 score tensor never hits HBM.
+        y = _merge_heads(flash_attention(q, k, v))
         x = resid + _linear(y, p["attn"]["o_w"], p["attn"]["o_b"])
 
         resid = x

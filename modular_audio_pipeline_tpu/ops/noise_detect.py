@@ -25,7 +25,7 @@ import numpy as np
 
 from .framing import frame_signal
 
-__all__ = ["frame_energy_zcr", "detect_noise_segments"]
+__all__ = ["frame_energy_zcr", "detect_noise_segments", "noise_segments_from_features"]
 
 
 @partial(jax.jit, static_argnames=("sr",))
@@ -54,8 +54,19 @@ def detect_noise_segments(audio: np.ndarray, sr: int) -> List[Tuple[int, int]]:
     n_valid_frames = (len(audio) - frame_length) // hop + 1
     padded, _ = pad_to_bucket(np.asarray(audio, dtype=np.float32), sr)
     energies, zcrs = (np.asarray(v) for v in frame_energy_zcr(jnp.asarray(padded), sr))
-    energies = energies[:n_valid_frames]
-    zcrs = zcrs[:n_valid_frames]
+    return noise_segments_from_features(
+        energies[:n_valid_frames], zcrs[:n_valid_frames], sr
+    )
+
+
+def noise_segments_from_features(
+    energies: np.ndarray, zcrs: np.ndarray, sr: int
+) -> List[Tuple[int, int]]:
+    """Decision half of :func:`detect_noise_segments` over host features
+    (callers holding a device audio buffer reuse it for the feature pass)."""
+    hop = int(sr * 0.010)
+    if len(energies) == 0:
+        return []
 
     energy_threshold = np.percentile(energies, 20)
     zcr_threshold = np.percentile(zcrs, 50)
@@ -70,7 +81,6 @@ def detect_noise_segments(audio: np.ndarray, sr: int) -> List[Tuple[int, int]]:
     starts = np.flatnonzero(edges == 1)
     ends = np.flatnonzero(edges == -1)
     n_pairs = len(ends)  # pairs only; open tail excluded
-    min_frames = int(np.ceil(0.1 * sr / hop))
     segments: List[Tuple[int, int]] = [
         (int(s) * hop, int(e) * hop)
         for s, e in zip(starts[:n_pairs], ends)

@@ -115,21 +115,31 @@ def detect_nonsilent_ranges(
 def _crossfade_concat(
     chunks: List[np.ndarray], crossfades_ms: List[int], sr: int
 ) -> np.ndarray:
-    """Concatenate with linear crossfades: out_len = sum(len) - sum(xf)."""
+    """Concatenate with linear crossfades: out_len = sum(len) - sum(xf).
+
+    Writes into one preallocated buffer (a naive repeated ``concatenate``
+    is quadratic — seconds of pure memcpy for an hour of audio)."""
     spms = sr // 1000
     if not chunks:
         return np.empty(0, dtype=np.float32)
-    out = chunks[0].astype(np.float32)
+
+    total = sum(len(c) for c in chunks)
+    out = np.empty(total, dtype=np.float32)
+    pos = len(chunks[0])
+    out[:pos] = chunks[0]
+
     for chunk, xf_ms in zip(chunks[1:], crossfades_ms):
         xf = xf_ms * spms
-        chunk = chunk.astype(np.float32)
-        if xf <= 0 or xf > min(len(out), len(chunk)):
-            out = np.concatenate([out, chunk])
+        n = len(chunk)
+        if xf <= 0 or xf > min(pos, n):
+            out[pos : pos + n] = chunk
+            pos += n
             continue
         ramp = np.linspace(0.0, 1.0, xf, dtype=np.float32)
-        blended = out[-xf:] * (1.0 - ramp) + chunk[:xf] * ramp
-        out = np.concatenate([out[:-xf], blended, chunk[xf:]])
-    return out
+        out[pos - xf : pos] = out[pos - xf : pos] * (1.0 - ramp) + chunk[:xf] * ramp
+        out[pos : pos + n - xf] = chunk[xf:]
+        pos += n - xf
+    return out[:pos]
 
 
 def remove_silence(

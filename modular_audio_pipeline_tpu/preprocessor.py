@@ -319,14 +319,24 @@ class AudioPreprocessor(PreprocessorProtocol):
         import jax.numpy as jnp
 
         from .ops.bucketing import pad_to_bucket
-        from .ops.noise_detect import detect_noise_segments
+        from .ops.noise_detect import noise_segments_from_features
 
         padded, n_valid = pad_to_bucket(np.asarray(audio, np.float32), sr)
+        # ONE upload: noise detection and the fused chain share this buffer.
+        device_audio = jnp.asarray(padded)
 
         noise_start = 0
         if denoise and self.noise_config.enabled:
             if self.noise_config.auto_detect_noise:
-                segments = detect_noise_segments(audio, sr)
+                from .ops.noise_detect import frame_energy_zcr
+
+                frame_length = int(sr * 0.025)
+                hop = int(sr * 0.010)
+                nvf = max(0, (n_valid - frame_length) // hop + 1)
+                e, z = frame_energy_zcr(device_audio, sr)
+                segments = noise_segments_from_features(
+                    np.asarray(e)[:nvf], np.asarray(z)[:nvf], sr
+                )
                 if segments:
                     longest = max(segments, key=lambda s: s[1] - s[0])
                     noise_start = min(longest[0], max(0, n_valid - 2 * sr))
@@ -334,7 +344,7 @@ class AudioPreprocessor(PreprocessorProtocol):
             denoise = False
 
         out, lufs = _fused_dsp_chain(
-            jnp.asarray(padded),
+            device_audio,
             jnp.asarray(noise_start, jnp.int32),
             sr=sr,
             denoise=denoise,
