@@ -55,16 +55,8 @@ def main() -> None:
     import jax
 
     from modular_audio_pipeline_tpu.config import PipelineConfig
-    from modular_audio_pipeline_tpu.diarizer import SpeakerDiarizer
-    from modular_audio_pipeline_tpu.models.whisper.decode import (
-        DecodeOptions,
-        decode_windows,
-    )
-    from modular_audio_pipeline_tpu.ops.mel import log_mel
-    from modular_audio_pipeline_tpu.preprocessor import AudioPreprocessor
     from modular_audio_pipeline_tpu.runtime import enable_persistent_cache
-    from modular_audio_pipeline_tpu.transcriber import JaxWhisperBackend
-    from modular_audio_pipeline_tpu.vad import SileroVADFilter
+    from modular_audio_pipeline_tpu.serving import ServingPipeline
 
     enable_persistent_cache()
     log(f"devices: {jax.devices()}")
@@ -73,98 +65,25 @@ def main() -> None:
     audio = make_audio(audio_seconds)
 
     cfg = PipelineConfig(media_dir="/tmp/bench_media")
-    pre = AudioPreprocessor.from_config(cfg)
-    vad = SileroVADFilter(sampling_rate=SR)
+    cfg.transcription.model = MODEL
+    cfg.transcription.weights_path = "random:0"
+    cfg.transcription.beam_size = BEAM
+    cfg.transcription.language = "en"
+    cfg.transcription.batch_size = 16
+    cfg.transcription.max_decode_tokens = DECODE_TOKENS
 
-    backend = JaxWhisperBackend(
-        MODEL,
-        language="en",
-        beam_size=BEAM,
-        weights_path="random:0",
-        batch_size=16,
-        max_decode_tokens=DECODE_TOKENS,
-    )
     log(f"loading {MODEL} (random weights)...")
-    backend.load()
-    diarizer = SpeakerDiarizer(lazy_load=False)
-
-    import jax.numpy as jnp
-
-    opts = DecodeOptions(
-        language="en",
-        beam_size=BEAM,
-        max_tokens=DECODE_TOKENS,
-        timestamps=True,
-    )
-
-    stage_t: dict = {}
-
-    def tick(name, t0):
-        stage_t[name] = stage_t.get(name, 0.0) + time.perf_counter() - t0
-        return time.perf_counter()
+    serving = ServingPipeline(cfg)
+    serving.backend.load()
 
     def run_once() -> int:
-        stage_t.clear()
-        t0 = time.perf_counter()
-        # --- DSP preprocessing chain (one fused device program) ---
-        x, _stats = pre.preprocess_chain_array(audio, SR)
-        t0 = tick("dsp", t0)
-        from modular_audio_pipeline_tpu.ops.silence import remove_silence
-
-        x, _, changed = remove_silence(x, SR)
-        t0 = tick("silence", t0)
-
-        # --- VAD (probabilities + hysteresis) ---
-        timestamps = vad._timestamps(x, SR)
-        if timestamps:
-            pieces = [
-                x[int(t["start"] * SR) : int(t["end"] * SR)] for t in timestamps
-            ]
-            x = np.concatenate(pieces)
-        t0 = tick("vad", t0)
-
-        # --- transcription: windows -> mel -> encode -> beam decode ---
-        from modular_audio_pipeline_tpu.models.whisper.decode import (
-            decode_windows_async,
-            finalize_decode,
-        )
-
-        windows = backend._windows(x)
-        n_tokens = 0
-        pending = []
-        for start in range(0, windows.shape[0], backend.batch_size):
-            batch = windows[start : start + backend.batch_size]
-            if batch.shape[0] < backend.batch_size:
-                pad = np.zeros(
-                    (backend.batch_size - batch.shape[0], batch.shape[1]), np.float32
-                )
-                batch = np.concatenate([batch, pad])
-            mel = log_mel(jnp.asarray(batch), n_mels=backend.dims.n_mels)
-            pending.append(
-                decode_windows_async(
-                    backend.params, backend.dims, backend.tokenizer, mel, opts
-                )
-            )
-        for p in pending:
-            n_tokens += int(finalize_decode(p).lengths.sum())
-        t0 = tick("transcribe", t0)
-
-        # --- diarization: embeddings + clustering ---
-        spans = diarizer._subsegments(x, SR)
-        if spans:
-            embs = diarizer._embed_all(x, SR, spans)
-            from modular_audio_pipeline_tpu.models.diarization.clustering import (
-                cluster_embeddings,
-            )
-
-            cluster_embeddings(embs, 1, 5)
-        tick("diarize", t0)
-        return n_tokens
+        result = serving.process(audio, SR)
+        return len(result["segments"])
 
     log("warmup (compiles)...")
     t0 = time.perf_counter()
-    n_tokens = run_once()
-    log(f"warmup done in {time.perf_counter() - t0:.1f}s ({n_tokens} tokens)")
+    n_segments = run_once()
+    log(f"warmup done in {time.perf_counter() - t0:.1f}s ({n_segments} segments)")
 
     times = []
     for i in range(RUNS):
@@ -172,10 +91,7 @@ def main() -> None:
         run_once()
         dt = time.perf_counter() - t0
         times.append(dt)
-        log(
-            f"run {i + 1}/{RUNS}: {dt:.2f}s ({audio_seconds / dt:.1f}x realtime) "
-            f"stages={ {k: round(v, 2) for k, v in stage_t.items()} }"
-        )
+        log(f"run {i + 1}/{RUNS}: {dt:.2f}s ({audio_seconds / dt:.1f}x realtime)")
 
     wall = float(np.median(times))
     rtf = audio_seconds / wall

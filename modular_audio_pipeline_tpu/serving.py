@@ -1,0 +1,414 @@
+"""Device-resident serving pipeline: one upload, stats-only downloads.
+
+The protocol-compatible :class:`~.pipeline.AudioPipeline` chains stages
+through WAV files (reference parity, inspectable checkpoints). For
+throughput serving that round-tripping is the bottleneck on hosts with
+slow device links: the processed waveform (38 MB per 10-minute bucket)
+crosses host<->device three times.
+
+This path keeps the waveform on device end to end:
+
+1. upload once; one fused program runs denoise -> peak -> LUFS and also
+   emits the *decision statistics*: per-1-ms block energy sums (silence),
+   32 ms sub-band energies + frame levels (VAD) — a few MB total;
+2. the host reproduces the reference's silence grouping + Silero-style
+   VAD hysteresis over those stats and composes keep-intervals plus the
+   standard :class:`TimestampMapping` table;
+3. a 16-sample block index map (int32, ~2 MB/hour) goes up; the device
+   gathers the kept audio into 30 s windows, runs mel -> encoder ->
+   beam decode, and (for diarization) one MFCC pass over the windows;
+4. only tokens and MFCC frames come back.
+
+Differences vs the exact path (documented, all inaudible to ASR): cuts
+snap to 16-sample blocks, the 20 ms crossfades at cut points are skipped,
+and VAD decisions are computed on the pre-cut timeline then intersected
+with the silence-kept intervals.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .config import PipelineConfig
+from .protocols import TimestampMapping
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["ServingPipeline"]
+
+_BLOCK = 16  # samples per gather block (1 ms @ 16 kHz)
+_VAD_FRAME_MS = 32  # 512 samples @ 16 kHz — Silero's window
+
+
+@functools.lru_cache(maxsize=8)
+def _dsp_stats_program(sr: int, denoise: bool, prop_decrease: float, target_lufs: float):
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.dynamics import peak_normalize
+    from .ops.loudness import integrated_loudness, normalize_loudness
+    from .ops.vad_ops import band_energies
+    from .ops.spectral_gate import spectral_gate_stationary
+
+    @jax.jit
+    def run(x, noise_start):
+        if denoise:
+            noise_clip = jax.lax.dynamic_slice(x, (noise_start,), (2 * sr,))
+            x = spectral_gate_stationary(x, noise_clip, sr, prop_decrease=prop_decrease)
+        x = peak_normalize(x)
+        lufs = integrated_loudness(x, sr)
+        quiet = ~jnp.isfinite(lufs) | (lufs < -70.0)
+        x = jnp.where(
+            quiet, x,
+            normalize_loudness(x, jnp.where(quiet, target_lufs, lufs), target_lufs),
+        )
+        # decision statistics
+        blocks = x.reshape(-1, _BLOCK)
+        block_sq = jnp.sum(blocks * blocks, axis=-1)  # [n_ms] f32
+        bands, frame_db = band_energies(x, sr, _VAD_FRAME_MS)
+        return x, lufs, block_sq, bands, frame_db
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _gather_windows_program(n_win_blocks: int, window_samples: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x, block_ids):
+        blocks = x.reshape(-1, _BLOCK)[block_ids]  # [n_blocks, 16]
+        flat = blocks.reshape(-1)
+        return flat.reshape(-1, window_samples)
+
+    return run
+
+
+def _nonsilent_from_block_sums(
+    block_sq: np.ndarray,
+    n_valid_ms: int,
+    min_silence_len: int = 250,
+    silence_offset_db: float = 40.0,
+) -> List[Tuple[int, int]]:
+    """pydub detect_nonsilent over per-ms block energy sums (exact math)."""
+    cs = np.concatenate([[0.0], np.cumsum(block_sq[:n_valid_ms], dtype=np.float64)])
+    total_ms2 = cs[-1] / max(n_valid_ms * _BLOCK, 1)
+    # threshold relative to clip dBFS (full-scale units: x is in [-1,1])
+    thresh_ms2 = total_ms2 * 10.0 ** (-silence_offset_db / 10.0)
+
+    if n_valid_ms < min_silence_len:
+        return [(0, n_valid_ms)] if n_valid_ms else []
+    win_sums = cs[min_silence_len:] - cs[: n_valid_ms - min_silence_len + 1]
+    win_ms2 = win_sums / (min_silence_len * _BLOCK)
+    silent = np.flatnonzero(win_ms2 <= thresh_ms2)
+
+    if silent.size == 0:
+        return [(0, n_valid_ms)]
+    breaks = np.flatnonzero((np.diff(silent) != 1) & (np.diff(silent) > min_silence_len))
+    range_starts = np.concatenate([[0], breaks + 1])
+    range_ends = np.concatenate([breaks, [silent.size - 1]])
+    silent_ranges = [
+        (int(silent[s]), int(silent[e]) + min_silence_len)
+        for s, e in zip(range_starts, range_ends)
+    ]
+
+    out = []
+    prev = 0
+    for s, e in silent_ranges:
+        if s > prev:
+            out.append((prev, s))
+        prev = e
+    if prev < n_valid_ms:
+        out.append((prev, n_valid_ms))
+    return [(s, e) for s, e in out if e > s]
+
+
+def _speech_probs_from_bands(bands: np.ndarray, frame_db: np.ndarray) -> np.ndarray:
+    """Energy-VAD probability calibration (models.vad_net semantics)."""
+    k = max(1, len(bands) // 10)
+    floor = np.sort(bands, axis=0)[:k].mean(axis=0) + 1e-12
+    score = np.log2(1.0 + bands / floor).sum(axis=-1)
+    prob = 1.0 / (1.0 + np.exp(-(score - 7.0) / 2.0))
+    return np.where(frame_db < -60.0, 0.0, prob).astype(np.float32)
+
+
+class ServingPipeline:
+    """Throughput-oriented transcription + diarization on device arrays."""
+
+    def __init__(self, config: Optional[PipelineConfig] = None, backend=None,
+                 diarize: bool = True):
+        from .transcriber import JaxWhisperBackend
+
+        self.config = config or PipelineConfig()
+        if backend is not None:
+            self.backend = backend
+        else:
+            t = self.config.transcription
+            self.backend = JaxWhisperBackend(
+                model_name=t.model,
+                language=t.language,
+                beam_size=t.beam_size,
+                prompt=t.prompt or "",
+                weights_path=t.weights_path,
+                batch_size=t.batch_size,
+                max_decode_tokens=t.max_decode_tokens,
+            )
+        self.diarize_enabled = diarize and self.config.diarization.enabled
+
+    # -- stages -------------------------------------------------------------
+
+    def process(self, audio: np.ndarray, sr: int) -> Dict[str, Any]:
+        import jax.numpy as jnp
+
+        from .models.whisper.decode import (
+            DecodeOptions,
+            decode_windows_async,
+            finalize_decode,
+        )
+        from .ops.bucketing import pad_to_bucket
+        from .ops.mel import log_mel
+        from .ops.noise_detect import frame_energy_zcr, noise_segments_from_features
+
+        cfg = self.config
+        self.backend.load()
+        duration = len(audio) / sr
+
+        padded, n_valid = pad_to_bucket(np.asarray(audio, np.float32), sr)
+        dev_audio = jnp.asarray(padded)
+
+        # noise profile position (device features, host percentile decision)
+        noise_start = 0
+        denoise = cfg.noise_reduction.enabled
+        if denoise and cfg.noise_reduction.auto_detect_noise:
+            frame_len, hop = int(sr * 0.025), int(sr * 0.010)
+            nvf = max(0, (n_valid - frame_len) // hop + 1)
+            e, z = frame_energy_zcr(dev_audio, sr)
+            segs = noise_segments_from_features(np.asarray(e)[:nvf], np.asarray(z)[:nvf], sr)
+            if segs:
+                longest = max(segs, key=lambda s: s[1] - s[0])
+                noise_start = min(longest[0], max(0, n_valid - 2 * sr))
+
+        dsp = _dsp_stats_program(
+            sr, denoise, cfg.noise_reduction.prop_decrease, -16.0
+        )
+        dev_proc, lufs, block_sq_d, bands_d, frame_db_d = dsp(
+            dev_audio, jnp.asarray(noise_start, jnp.int32)
+        )
+        n_valid_ms = n_valid // _BLOCK
+        block_sq = np.asarray(block_sq_d)
+        bands = np.asarray(bands_d)
+        frame_db = np.asarray(frame_db_d)
+
+        # --- host decisions: silence intervals ∩ VAD speech -----------------
+        keep_ms, mappings = self._keep_intervals(
+            block_sq, bands, frame_db, n_valid_ms, sr
+        )
+        if not keep_ms:
+            return {
+                "text": "", "segments": [], "language": self.backend.language,
+                "duration": duration, "timestamp_mappings": [],
+            }
+
+        # --- device: gather kept blocks into 30 s windows -------------------
+        window_samples = int(30.0 * sr)
+        win_blocks = window_samples // _BLOCK
+        block_ids = np.concatenate(
+            [np.arange(s, e, dtype=np.int32) for s, e in keep_ms]
+        )
+        kept_ms_total = len(block_ids)
+        n_win = max(1, int(np.ceil(kept_ms_total / win_blocks)))
+        from .transcriber import _BATCH_BUCKETS
+
+        pad_win = next((c for c in _BATCH_BUCKETS if c >= n_win), n_win)
+        # pad ids into the zero region beyond n_valid (bucket padding)
+        pad_block = min(len(padded) // _BLOCK - 1, n_valid_ms)
+        ids_padded = np.full(pad_win * win_blocks, pad_block, dtype=np.int32)
+        ids_padded[:kept_ms_total] = block_ids
+
+        gather = _gather_windows_program(pad_win * win_blocks, window_samples)
+        dev_windows = gather(dev_proc, jnp.asarray(ids_padded))  # [pad_win, W]
+
+        kept_duration = kept_ms_total * _BLOCK / sr
+
+        # --- transcription ----------------------------------------------------
+        t = cfg.transcription
+        opts = DecodeOptions(
+            language=self.backend.language if self.backend.language not in (None, "", "auto") else "en",
+            task=t.task,
+            beam_size=t.beam_size,
+            temperature=t.temperature,
+            max_tokens=t.max_decode_tokens,
+            timestamps=True,
+            prompt_tokens=self.backend._prompt_tokens(),
+        )
+        bs = self.backend.batch_size
+        pending = []
+        for start in range(0, n_win, bs):
+            end = min(start + bs, pad_win)
+            mel = log_mel(dev_windows[start:end], n_mels=self.backend.dims.n_mels)
+            pending.append((start, end - start, decode_windows_async(
+                self.backend.params, self.backend.dims, self.backend.tokenizer,
+                mel, opts,
+            )))
+
+        segments: List[Dict[str, Any]] = []
+        for start, b, p in pending:
+            result = finalize_decode(p)
+            for i in range(min(b, n_win - start)):
+                offset = (start + i) * 30.0
+                win_dur = min(30.0, kept_duration - offset)
+                segs = self.backend._parse_window(
+                    result.tokens[i], float(result.avg_logprobs[i]), offset, win_dur
+                )
+                segments.extend(segs)
+
+        # --- diarization (MFCC over windows, host stats + clustering) --------
+        diar_turns = []
+        if self.diarize_enabled and kept_ms_total > 0:
+            diar_turns = self._diarize_windows(
+                dev_windows, n_win, kept_duration, sr,
+                cfg.diarization.min_speakers, cfg.diarization.max_speakers,
+            )
+
+        text = " ".join(s["text"] for s in segments)
+        return {
+            "text": text,
+            "segments": segments,
+            "language": self.backend.language,
+            "duration": duration,
+            "kept_duration": kept_duration,
+            "timestamp_mappings": mappings,
+            "diarization": diar_turns,
+        }
+
+    # -- helpers ----------------------------------------------------------------
+
+    def _keep_intervals(
+        self, block_sq, bands, frame_db, n_valid_ms: int, sr: int
+    ) -> Tuple[List[Tuple[int, int]], List[TimestampMapping]]:
+        """Silence-kept intervals intersected with VAD speech, in ms blocks."""
+        from .models.vad_net import speech_timestamps_from_probs
+
+        cfg = self.config
+        nonsilent = _nonsilent_from_block_sums(block_sq, n_valid_ms)
+        # margins like the reference (100 ms)
+        merged: List[Tuple[int, int]] = []
+        for s, e in nonsilent:
+            s = max(0, s - 100)
+            e = min(n_valid_ms, e + 100)
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+
+        keep = np.zeros(n_valid_ms, dtype=bool)
+        for s, e in merged:
+            keep[s:e] = True
+
+        if cfg.vad.enabled:
+            probs = _speech_probs_from_bands(bands, frame_db)
+            stamps = speech_timestamps_from_probs(
+                probs, sr,
+                threshold=cfg.vad.threshold,
+                min_speech_duration_ms=cfg.vad.min_speech_duration_ms,
+                audio_length_samples=n_valid_ms * _BLOCK,
+            )
+            # Silero windows are 32 ms; timestamps come back in seconds.
+            vad_keep = np.zeros(n_valid_ms, dtype=bool)
+            for st in stamps:
+                a = int(st["start"] * 1000)
+                b = min(n_valid_ms, int(st["end"] * 1000))
+                vad_keep[a:b] = True
+            keep &= vad_keep
+
+        # intervals + mappings (processed timeline = cumulative kept)
+        idx = np.flatnonzero(keep)
+        if idx.size == 0:
+            return [], []
+        breaks = np.flatnonzero(np.diff(idx) > 1)
+        starts = np.concatenate([[0], breaks + 1])
+        ends = np.concatenate([breaks, [idx.size - 1]])
+
+        intervals: List[Tuple[int, int]] = []
+        mappings: List[TimestampMapping] = []
+        processed_ms = 0
+        for s_i, e_i in zip(starts, ends):
+            a, b = int(idx[s_i]), int(idx[e_i]) + 1
+            dur = b - a
+            mappings.append(
+                TimestampMapping(
+                    processed_start=processed_ms / 1000.0,
+                    processed_end=(processed_ms + dur) / 1000.0,
+                    original_start=a / 1000.0,
+                    original_end=b / 1000.0,
+                )
+            )
+            intervals.append((a, b))
+            processed_ms += dur
+        return intervals, mappings
+
+    def _diarize_windows(
+        self, dev_windows, n_win: int, kept_duration: float, sr: int,
+        min_speakers: int, max_speakers: int,
+    ) -> List[Dict[str, Any]]:
+        import jax.numpy as jnp
+
+        from .models.diarization.clustering import cluster_embeddings
+        from .models.diarization.embedding import StatsEmbedder
+        from .models.diarization.features import mfcc_batch
+
+        m = np.asarray(mfcc_batch(dev_windows[:n_win], sr=sr))  # [n_win, T, 20]
+        # frames are window-local (hop 10 ms); windows tile the kept
+        # timeline contiguously, so concatenation approximates the global
+        # grid (a 25 ms frame is lost at each boundary).
+        frames = m[:, :, 1:].reshape(-1, m.shape[-1] - 1)
+        frames_per_win = m.shape[1]
+
+        emb = StatsEmbedder(sr=sr)
+        sub_s, hop_s = 1.5, 0.75
+        total_s = min(kept_duration, n_win * 30.0)
+        spans = []
+        pos = 0.0
+        while pos + sub_s <= total_s:
+            spans.append((pos, pos + sub_s))
+            pos += hop_s
+        if not spans:
+            spans = [(0.0, total_s)]
+
+        # map span seconds -> frame indices on the concatenated grid
+        def to_frames(t_s: float) -> int:
+            win = int(t_s // 30.0)
+            within = t_s - win * 30.0
+            return min(
+                frames.shape[0] - 1, win * frames_per_win + int(within * 100)
+            )
+
+        span_samples = np.asarray(
+            [[to_frames(a) * 160, to_frames(b) * 160] for a, b in spans],
+            dtype=np.int64,
+        )
+        embs = emb.embed_spans(frames, span_samples, sr)
+        labels = cluster_embeddings(embs, min_speakers, max_speakers)
+
+        turns: List[Dict[str, Any]] = []
+        cur = None
+        for (a, b), lab in zip(spans, labels):
+            if cur is not None and int(lab) == cur["label"] and a <= cur["end"] + hop_s:
+                cur["end"] = max(cur["end"], b)
+            else:
+                if cur is not None:
+                    turns.append(cur)
+                cur = {"label": int(lab), "start": a, "end": b}
+        if cur is not None:
+            turns.append(cur)
+        return [
+            {"speaker": f"SPEAKER_{t['label']:02d}",
+             "start": round(t["start"], 3), "end": round(t["end"], 3)}
+            for t in turns
+        ]

@@ -1,0 +1,89 @@
+"""Device-resident serving pipeline tests (CPU backend)."""
+
+import numpy as np
+import pytest
+
+from modular_audio_pipeline_tpu.config import PipelineConfig
+from modular_audio_pipeline_tpu.serving import (
+    ServingPipeline,
+    _nonsilent_from_block_sums,
+)
+
+SR = 16000
+
+
+def make_audio(seconds=70.0, seed=0):
+    rng = np.random.default_rng(seed)
+    n = int(seconds * SR)
+    t = np.arange(n) / SR
+    f0 = 140 + 30 * np.sin(2 * np.pi * 0.7 * t)
+    sig = sum((0.3 / k) * np.sin(2 * np.pi * k * np.cumsum(f0) / SR) for k in range(1, 5))
+    env = (np.sin(2 * np.pi * 1.1 * t) > -0.4).astype(np.float32)
+    out = (sig * env * 0.3).astype(np.float32)
+    out[: SR] = 0.0008 * rng.standard_normal(SR)
+    out[-SR:] = 0.0008 * rng.standard_normal(SR)
+    return out
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    cfg = PipelineConfig(media_dir="/tmp")
+    cfg.transcription.model = "test-tiny"
+    cfg.transcription.weights_path = "random:0"
+    cfg.transcription.beam_size = 1
+    cfg.transcription.max_decode_tokens = 24
+    cfg.transcription.language = "en"
+    cfg.transcription.batch_size = 4
+    return ServingPipeline(cfg)
+
+
+class TestServing:
+    def test_end_to_end(self, pipeline):
+        audio = make_audio(70.0)
+        result = pipeline.process(audio, SR)
+        assert result["duration"] == pytest.approx(70.0, abs=0.1)
+        assert 0 < result["kept_duration"] <= 70.0
+        # mappings are monotonic and consistent
+        mappings = result["timestamp_mappings"]
+        assert mappings
+        prev_end = 0.0
+        for m in mappings:
+            assert m.processed_start == pytest.approx(prev_end, abs=1e-6)
+            assert m.original_end > m.original_start
+            assert (m.processed_end - m.processed_start) == pytest.approx(
+                m.original_end - m.original_start, abs=1e-6
+            )
+            prev_end = m.processed_end
+        # segments exist with random weights on a >=35s window budget
+        for seg in result["segments"]:
+            assert seg["end"] >= seg["start"] >= 0
+
+    def test_diarization_turns(self, pipeline):
+        audio = make_audio(70.0, seed=1)
+        result = pipeline.process(audio, SR)
+        assert isinstance(result["diarization"], list)
+        for turn in result["diarization"]:
+            assert turn["speaker"].startswith("SPEAKER_")
+            assert turn["end"] > turn["start"]
+
+    def test_silent_audio(self, pipeline):
+        audio = np.zeros(SR * 35, dtype=np.float32)
+        result = pipeline.process(audio, SR)
+        assert result["segments"] == []
+        assert result["text"] == ""
+
+
+class TestBlockSilence:
+    def test_matches_sample_level_detector(self, tone_plus_silence):
+        from modular_audio_pipeline_tpu.ops.silence import detect_nonsilent_ranges
+
+        x, sr = tone_plus_silence
+        n_ms = len(x) // 16
+        blocks = np.square(x[: n_ms * 16].astype(np.float64)).reshape(n_ms, 16).sum(-1)
+
+        got = _nonsilent_from_block_sums(blocks, n_ms)
+
+        total_ms2 = np.square(x.astype(np.float64) * 32768.0).mean()
+        thresh_db = 10 * np.log10(total_ms2 / 32768.0**2) - 40.0
+        expected = detect_nonsilent_ranges(x, sr, 250, thresh_db)
+        assert got == expected
