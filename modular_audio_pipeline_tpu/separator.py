@@ -87,11 +87,36 @@ class VocalSeparator(VocalSeparatorProtocol):
 
     # -- separation -----------------------------------------------------------
 
-    def _process_chunk(self, chunk: np.ndarray, sr: int, chunk_index: int) -> np.ndarray:
-        from .models.separation.repet import repet_separate
+    def _separation_backend(self):
+        """MaskUNet when a converted checkpoint exists for the configured
+        model name; REPET (weight-free) otherwise. Cached after first use."""
+        if hasattr(self, "_backend_fn"):
+            return self._backend_fn
 
+        import os
+
+        weights_root = os.environ.get(
+            "MAP_TPU_WEIGHTS",
+            os.path.join(os.path.expanduser("~"), ".cache", "map_tpu"),
+        )
+        unet_dir = Path(weights_root) / f"separation-{self.model}"
+        if (unet_dir / "params.npz").exists():
+            from .models.separation.unet import MaskUNet
+            from .models.whisper.convert import load_params
+
+            net = MaskUNet(params=load_params(str(unet_dir)))
+            logger.info("Separation backend: MaskUNet (%s)", unet_dir)
+            self._backend_fn = net.separate
+        else:
+            from .models.separation.repet import repet_separate
+
+            logger.info("Separation backend: REPET (no %s checkpoint)", self.model)
+            self._backend_fn = repet_separate
+        return self._backend_fn
+
+    def _process_chunk(self, chunk: np.ndarray, sr: int, chunk_index: int) -> np.ndarray:
         try:
-            vocals, _ = repet_separate(chunk, sr)
+            vocals, _ = self._separation_backend()(chunk, sr)
             return vocals
         except Exception as exc:
             raise VocalSeparationError(

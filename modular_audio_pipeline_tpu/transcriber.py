@@ -83,8 +83,11 @@ class JaxWhisperBackend:
         timestamps: bool = True,
         word_timestamps: bool = False,  # cross-attention DTW word alignment
         mesh=None,  # jax.sharding.Mesh: shard window batches on its 'data' axis
+        temperature_fallback: bool = True,  # whisper's quality-retry ladder
     ):
         self.word_timestamps = word_timestamps
+        self.temperature_fallback = temperature_fallback
+        self.fallback_temperatures = (0.2, 0.4, 0.6, 0.8, 1.0)
         if model_name not in WHISPER_DIMS:
             raise ModelLoadError(f"Unknown Whisper model: {model_name}")
         self.mesh = mesh
@@ -124,6 +127,9 @@ class JaxWhisperBackend:
             )
             self.params = init_params(self.dims, seed=seed, dtype=dtype)
             self.tokenizer = load_tokenizer(None, n_vocab=self.dims.n_vocab)
+            # Quality gates are meaningless on random weights: every window
+            # would walk the whole retry ladder.
+            self.temperature_fallback = False
             return
 
         if Path(path, "params.npz").exists():
@@ -175,6 +181,27 @@ class JaxWhisperBackend:
         ids = self.tokenizer.encode(" " + self.prompt.strip())
         # whisper caps the conditioning prompt at half the text context
         return tuple(ids[-(self.dims.n_text_ctx // 2 - 1):])
+
+    @staticmethod
+    def _compression_ratio(text: str) -> float:
+        """zlib compression ratio — whisper's repetition-loop detector."""
+        import zlib
+
+        data = text.encode("utf-8")
+        if not data:
+            return 0.0
+        return len(data) / len(zlib.compress(data))
+
+    def _needs_fallback(self, result, tokens_row, text: str) -> bool:
+        """Whisper's quality gates: failed windows retry at higher
+        temperature (openai-whisper decode heuristics; the reference
+        inherits them via its backends)."""
+        if result is None:
+            return True
+        return (
+            self._compression_ratio(text) > 2.4  # stuck in a repetition loop
+            or float(result) < -1.0  # avg logprob too low
+        )
 
     # -- decoding ------------------------------------------------------------
 
@@ -257,20 +284,40 @@ class JaxWhisperBackend:
                 self.params, self.dims, self.tokenizer, mel, opts,
                 audio_kv=audio_kv,
             )
-            return start, b, pending, audio_kv
+            return start, b, pending, audio_kv, mel
 
         def collect(ctx) -> None:
-            start, b, pending, audio_kv = ctx
+            start, b, pending, audio_kv, mel = ctx
             result = finalize_decode(pending)
+            tokens_rows = {i: result.tokens[i] for i in range(b)}
+            avg_lp = {i: float(result.avg_logprobs[i]) for i in range(b)}
+
+            # Temperature-fallback ladder (whisper decode heuristics):
+            # windows with a repetition loop or low avg logprob retry at
+            # increasing sampling temperatures.
+            if self.temperature_fallback and opts.temperature == 0.0:
+                failing = []
+                for i in range(b):
+                    text = self.tokenizer.decode(
+                        [t for t in tokens_rows[i] if t < self.tokenizer.eot]
+                    )
+                    if self._needs_fallback(avg_lp[i], tokens_rows[i], text):
+                        failing.append(i)
+                if failing:
+                    retried = self._retry_windows(mel, failing, opts)
+                    for i, (toks, lp) in retried.items():
+                        tokens_rows[i] = toks
+                        avg_lp[i] = lp
+
             for i in range(b):
                 offset = (start + i) * _WINDOW_S
                 win_dur = min(_WINDOW_S, duration - offset)
                 segs = self._parse_window(
-                    result.tokens[i], float(result.avg_logprobs[i]), offset, win_dur
+                    tokens_rows[i], avg_lp[i], offset, win_dur
                 )
                 if self.word_timestamps and segs:
                     self._attach_words(
-                        segs, result.tokens[i], audio_kv, i, opts, offset
+                        segs, tokens_rows[i], audio_kv, i, opts, offset
                     )
                 segments.extend(segs)
                 texts.extend(s["text"] for s in segs)
@@ -292,6 +339,53 @@ class JaxWhisperBackend:
             "language": language,
             "duration": duration,
         }
+
+    def _retry_windows(self, mel, failing: List[int], opts) -> Dict[int, tuple]:
+        """Re-decode failing windows through the temperature ladder.
+
+        Returns {window_index: (tokens, avg_logprob)} for windows whose
+        retry passed the quality gates (or the last attempt otherwise —
+        whisper keeps the final ladder result even when imperfect).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from .models.whisper.decode import decode_windows
+        from dataclasses import replace
+
+        out: Dict[int, tuple] = {}
+        remaining = list(failing)
+        # fixed-shape retry batch: bucket the failing subset
+        for temp_idx, temp in enumerate(self.fallback_temperatures):
+            if not remaining:
+                break
+            bucket = next((c for c in _BATCH_BUCKETS if c >= len(remaining)),
+                          len(remaining))
+            rows = (remaining + [remaining[-1]] * bucket)[:bucket]
+            sub_mel = mel[jnp.asarray(rows, dtype=jnp.int32)]
+            retry_opts = replace(opts, temperature=float(temp), beam_size=1)
+            result = decode_windows(
+                self.params, self.dims, self.tokenizer, sub_mel, retry_opts,
+                rng=jax.random.PRNGKey(1000 + temp_idx),
+            )
+            still: List[int] = []
+            for j, win in enumerate(remaining):
+                toks = result.tokens[j]
+                lp = float(result.avg_logprobs[j])
+                text = self.tokenizer.decode(
+                    [t for t in toks if t < self.tokenizer.eot]
+                )
+                if self._needs_fallback(lp, toks, text) and temp != self.fallback_temperatures[-1]:
+                    still.append(win)
+                else:
+                    out[win] = (toks, lp)
+            remaining = still
+            if remaining:
+                logger.debug(
+                    "temperature fallback: %d windows retry at > %.1f",
+                    len(remaining), temp,
+                )
+        return out
 
     def _attach_words(
         self, segs: List[Dict[str, Any]], tokens, audio_kv, window_idx: int,

@@ -365,3 +365,46 @@ class TestPreprocessorAdapters:
         pre = AudioPreprocessor.from_config(cfg)
         out, _ = read_wav(pre.normalize_audio(src))
         assert np.abs(out).max() == pytest.approx(10 ** (-0.1 / 20), abs=5e-3)
+
+
+class TestMaskUNet:
+    def test_mask_and_reconstruction(self, rng):
+        import jax.numpy as jnp
+
+        from modular_audio_pipeline_tpu.models.separation.unet import (
+            MaskUNet,
+            masking_loss,
+        )
+
+        net = MaskUNet(seed=0)
+        mag = jnp.asarray(
+            np.abs(rng.standard_normal((1, 1025, 50))).astype(np.float32)
+        )
+        mask = MaskUNet.apply(net.params, mag)
+        assert mask.shape == (1, 1025, 50)
+        assert 0.0 <= float(mask.min()) and float(mask.max()) <= 1.0
+
+        audio = (0.2 * rng.standard_normal(SR * 2)).astype(np.float32)
+        vocals, music = net.separate(audio, SR)
+        # masked split is a perfect decomposition of the mixture
+        np.testing.assert_allclose(vocals + music, audio, atol=1e-5)
+
+        loss = float(masking_loss(net.params, mag, mag * 0.5))
+        assert np.isfinite(loss) and loss > 0
+
+    def test_checkpoint_roundtrip_selects_unet(self, tmp_path, monkeypatch, rng):
+        import jax
+
+        from modular_audio_pipeline_tpu.models.separation.unet import MaskUNet
+        from modular_audio_pipeline_tpu.models.whisper.convert import save_params
+
+        net = MaskUNet(seed=0)
+        ckpt = tmp_path / "separation-htdemucs"
+        save_params(jax.tree.map(np.asarray, net.params), str(ckpt))
+        monkeypatch.setenv("MAP_TPU_WEIGHTS", str(tmp_path))
+
+        sep = VocalSeparator(sample_rate=SR, temp_dir=str(tmp_path / "t"))
+        backend = sep._separation_backend()
+        audio = (0.2 * rng.standard_normal(SR)).astype(np.float32)
+        vocals, music = backend(audio, SR)
+        assert vocals.shape == audio.shape
