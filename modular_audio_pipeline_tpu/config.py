@@ -118,6 +118,10 @@ class TranscriptionConfig:
     weights_path: Optional[str] = None  # converted checkpoint dir (offline)
     max_decode_tokens: int = 224  # static decode-loop bound per 30 s window
     word_timestamps: bool = True  # cross-attention DTW word alignment
+    # "batched": windows decode independently in parallel (throughput);
+    # "sequential": each window is conditioned on the previous window's
+    # text (whisper's condition_on_previous_text accuracy behaviour).
+    chunking: str = "batched"
 
 
 @dataclass

@@ -74,6 +74,21 @@ def _linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray]) -> jnp.nda
     return y.astype(x.dtype)
 
 
+def _proj(y: jnp.ndarray, mod: Dict[str, Any], name: str) -> jnp.ndarray:
+    """Projection that dispatches on quantisation: ``name_w`` (bf16) or
+    ``name_wq``/``name_ws`` (weight-only int8 via the Pallas kernel)."""
+    wq = mod.get(f"{name}_wq")
+    bias = mod.get(f"{name}_b")
+    if wq is not None:
+        from ...ops.quant import int8_matmul
+
+        out = int8_matmul(y, wq, mod[f"{name}_ws"])
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        return out.astype(y.dtype)
+    return _linear(y, mod[f"{name}_w"], bias)
+
+
 def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
     """[B, T, D] -> [B, H, T, hd]"""
     b, t, d = x.shape
@@ -207,8 +222,8 @@ def cross_kv(params: Params, dims: WhisperDims, xa: jnp.ndarray) -> Tuple[jnp.nd
     h = dims.n_text_head
 
     def one_layer(_, p):
-        k = _split_heads(_linear(xa, p["cross"]["k_w"], None), h)
-        v = _split_heads(_linear(xa, p["cross"]["v_w"], p["cross"]["v_b"]), h)
+        k = _split_heads(_proj(xa, p["cross"], "k"), h)
+        v = _split_heads(_proj(xa, p["cross"], "v"), h)
         return None, (k, v)
 
     _, (ks, vs) = jax.lax.scan(one_layer, None, dec["blocks"])
@@ -252,15 +267,15 @@ def decoder_forward(
         p, ck, cv, xk, xv = layer_in
         resid = x
         y = _layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
-        q = _split_heads(_linear(y, p["attn"]["q_w"], p["attn"]["q_b"]), h)
-        k_new = _split_heads(_linear(y, p["attn"]["k_w"], None), h)
-        v_new = _split_heads(_linear(y, p["attn"]["v_w"], p["attn"]["v_b"]), h)
+        q = _split_heads(_proj(y, p["attn"], "q"), h)
+        k_new = _split_heads(_proj(y, p["attn"], "k"), h)
+        v_new = _split_heads(_proj(y, p["attn"], "v"), h)
 
         ck = jax.lax.dynamic_update_slice_in_dim(ck, k_new, pos0, axis=2)
         cv = jax.lax.dynamic_update_slice_in_dim(cv, v_new, pos0, axis=2)
 
         y = _merge_heads(_attention(q, ck, cv, self_mask[None, None]))
-        x = resid + _linear(y, p["attn"]["o_w"], p["attn"]["o_b"])
+        x = resid + _proj(y, p["attn"], "o")
 
         # Cross-attention over precomputed audio K/V. When the token batch
         # is a beam-expanded multiple of the audio batch (B*K vs B), the
@@ -269,7 +284,7 @@ def decoder_forward(
         # beam decoding: ~2.5 GB for 16 windows of large-v3-turbo).
         resid = x
         y = _layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])
-        qx = _split_heads(_linear(y, p["cross"]["q_w"], p["cross"]["q_b"]), h)
+        qx = _split_heads(_proj(y, p["cross"], "q"), h)
         groups = qx.shape[0] // xk.shape[0]
         scale = qx.shape[-1] ** -0.25
         if groups > 1:
@@ -295,12 +310,12 @@ def decoder_forward(
             probs = jnp.zeros((), dtype=jnp.float32)
             y = _attention(qx, xk, xv, None)
         y = _merge_heads(y)
-        x = resid + _linear(y, p["cross"]["o_w"], p["cross"]["o_b"])
+        x = resid + _proj(y, p["cross"], "o")
 
         resid = x
         y = _layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
-        y = jax.nn.gelu(_linear(y, p["mlp"]["fc1_w"], p["mlp"]["fc1_b"]), approximate=False)
-        x = resid + _linear(y, p["mlp"]["fc2_w"], p["mlp"]["fc2_b"])
+        y = jax.nn.gelu(_proj(y, p["mlp"], "fc1"), approximate=False)
+        x = resid + _proj(y, p["mlp"], "fc2")
         return x, (ck, cv, probs)
 
     x, (new_k, new_v, cross_probs) = jax.lax.scan(
@@ -308,9 +323,14 @@ def decoder_forward(
     )
     x = _layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
 
-    logits = jnp.einsum(
-        "bsd,vd->bsv", x, dec["tok_emb"], preferred_element_type=jnp.float32
-    )[..., : dims.n_vocab]
+    if "logits_wq" in dec:  # weight-only int8 head (ops.quant)
+        from ...ops.quant import int8_matmul
+
+        logits = int8_matmul(x, dec["logits_wq"], dec["logits_ws"])[..., : dims.n_vocab]
+    else:
+        logits = jnp.einsum(
+            "bsd,vd->bsv", x, dec["tok_emb"], preferred_element_type=jnp.float32
+        )[..., : dims.n_vocab]
     new_cache = KVCache(k=new_k, v=new_v, pos=pos0 + s)
     if return_cross_probs:
         return logits, new_cache, cross_probs

@@ -84,10 +84,12 @@ class JaxWhisperBackend:
         word_timestamps: bool = False,  # cross-attention DTW word alignment
         mesh=None,  # jax.sharding.Mesh: shard window batches on its 'data' axis
         temperature_fallback: bool = True,  # whisper's quality-retry ladder
+        chunking: str = "batched",  # "batched" | "sequential" (conditioned)
     ):
         self.word_timestamps = word_timestamps
         self.temperature_fallback = temperature_fallback
         self.fallback_temperatures = (0.2, 0.4, 0.6, 0.8, 1.0)
+        self.chunking = chunking
         if model_name not in WHISPER_DIMS:
             raise ModelLoadError(f"Unknown Whisper model: {model_name}")
         self.mesh = mesh
@@ -116,7 +118,7 @@ class JaxWhisperBackend:
 
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}.get(
             self.compute_dtype, jnp.bfloat16
-        )
+        )  # "int8" loads bf16 then quantizes the decoder below
         path = self.weights_path or default_weights_dir(self.model_name)
 
         if str(path).startswith("random"):
@@ -127,6 +129,7 @@ class JaxWhisperBackend:
             )
             self.params = init_params(self.dims, seed=seed, dtype=dtype)
             self.tokenizer = load_tokenizer(None, n_vocab=self.dims.n_vocab)
+            self._maybe_quantize()
             # Quality gates are meaningless on random weights: every window
             # would walk the whole retry ladder.
             self.temperature_fallback = False
@@ -140,6 +143,7 @@ class JaxWhisperBackend:
             host = load_params(path, dtype=self.compute_dtype)
             self.params = jax.tree.map(jnp.asarray, host)
             self.tokenizer = load_tokenizer(path, n_vocab=self.dims.n_vocab)
+            self._maybe_quantize()
             logger.info("Loaded Whisper %s from %s", self.model_name, path)
             return
 
@@ -160,6 +164,13 @@ class JaxWhisperBackend:
                 f"--src <hf-or-openai-ckpt> --dst {path} --model {self.model_name}"
             ),
         )
+
+    def _maybe_quantize(self) -> None:
+        if self.compute_dtype == "int8":
+            from .ops.quant import quantize_decoder
+
+            self.params = quantize_decoder(self.params)
+            logger.info("Decoder quantized to weight-only int8")
 
     def unload(self) -> None:
         self.params = None  # device buffers freed by GC
@@ -236,6 +247,9 @@ class JaxWhisperBackend:
             timestamps=self.timestamps,
             prompt_tokens=self._prompt_tokens(),
         )
+
+        if self.chunking == "sequential":
+            return self._transcribe_sequential(windows, duration, opts, language)
 
         segments: List[Dict[str, Any]] = []
         texts: List[str] = []
@@ -332,6 +346,60 @@ class JaxWhisperBackend:
                 collect(in_flight.pop(0))
         for ctx in in_flight:
             collect(ctx)
+
+        return {
+            "text": " ".join(t for t in texts if t),
+            "segments": segments,
+            "language": language,
+            "duration": duration,
+        }
+
+    def _transcribe_sequential(
+        self, windows: np.ndarray, duration: float, opts, language: str
+    ) -> Dict[str, Any]:
+        """Window-at-a-time decoding conditioned on the previous window's
+        text (whisper's condition_on_previous_text; the reference gets this
+        behaviour from its backends). Slower than batched mode — use for
+        accuracy-sensitive single files."""
+        from dataclasses import replace
+
+        import jax.numpy as jnp
+
+        from .models.whisper.decode import decode_windows
+        from .ops.mel import log_mel
+
+        segments: List[Dict[str, Any]] = []
+        texts: List[str] = []
+        base_prompt = list(self._prompt_tokens())
+        prev_tokens: List[int] = []
+        cap = self.dims.n_text_ctx // 2 - 1
+
+        space = self.tokenizer.encode(" ")
+        pad_tok = space[0] if space else 220
+
+        for w in range(windows.shape[0]):
+            prompt = (base_prompt + prev_tokens)[-cap:]
+            # Fixed prompt length after the first window: one compiled
+            # prefill shape instead of one per conditioning length.
+            if prompt:
+                prompt = [pad_tok] * (cap - len(prompt)) + prompt
+            w_opts = replace(opts, prompt_tokens=tuple(prompt))
+            mel = log_mel(jnp.asarray(windows[w : w + 1]), n_mels=self.dims.n_mels)
+            result = decode_windows(
+                self.params, self.dims, self.tokenizer, mel, w_opts
+            )
+            offset = w * _WINDOW_S
+            win_dur = min(_WINDOW_S, duration - offset)
+            segs = self._parse_window(
+                result.tokens[0], float(result.avg_logprobs[0]), offset, win_dur
+            )
+            segments.extend(segs)
+            texts.extend(s["text"] for s in segs)
+            # condition the next window on this window's text tokens
+            prev_tokens = [
+                int(t) for t in result.tokens[0]
+                if int(t) < self.tokenizer.eot
+            ]
 
         return {
             "text": " ".join(t for t in texts if t),
@@ -504,6 +572,7 @@ class WhisperTranscriber:
         batch_size: int = 16,
         mesh=None,
         word_timestamps: bool = True,
+        chunking: str = "batched",
     ) -> None:
         self.model_name = model_name
         self.language = language
@@ -534,6 +603,7 @@ class WhisperTranscriber:
             batch_size=batch_size,
             mesh=mesh,
             word_timestamps=word_timestamps,
+            chunking=chunking,
         )
         if not lazy_load:
             self.load_model()
@@ -552,6 +622,7 @@ class WhisperTranscriber:
             batch_size=config.transcription.batch_size,
             mesh=_mesh_from_config(config),
             word_timestamps=config.transcription.word_timestamps,
+            chunking=config.transcription.chunking,
         )
 
     def is_loaded(self) -> bool:
@@ -627,6 +698,7 @@ class FasterWhisperTranscriber:
         vad_filter: bool = True,
         mesh=None,
         word_timestamps: bool = True,
+        chunking: str = "batched",
     ):
         self.model_name = model_name
         self.device = device
@@ -635,7 +707,7 @@ class FasterWhisperTranscriber:
         self.language = language
         self.vad_filter = vad_filter
 
-        compute = "float32" if compute_type in ("float32", "int8") else "bfloat16"
+        compute = {"float32": "float32", "int8": "int8"}.get(compute_type, "bfloat16")
         self._backend = JaxWhisperBackend(
             model_name=model_name,
             language=language,
@@ -645,6 +717,7 @@ class FasterWhisperTranscriber:
             batch_size=batch_size,
             mesh=mesh,
             word_timestamps=word_timestamps,
+            chunking=chunking,
         )
         if not lazy_load:
             self.load_model()
@@ -665,6 +738,7 @@ class FasterWhisperTranscriber:
             batch_size=config.transcription.batch_size,
             mesh=_mesh_from_config(config),
             word_timestamps=config.transcription.word_timestamps,
+            chunking=config.transcription.chunking,
         )
 
     def is_loaded(self) -> bool:
