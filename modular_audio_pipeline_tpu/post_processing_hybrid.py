@@ -24,6 +24,8 @@ import re
 from collections import Counter
 from typing import Any, Dict, List, Optional
 
+import numpy as np
+
 from .post_processing import validate_analysis
 
 logger = logging.getLogger(__name__)
@@ -122,6 +124,92 @@ class HeuristicAnalyzer:
         ).to_dict()
 
 
+_ANALYSIS_PROMPT = (
+    "You are a meeting analyst. Analyze the transcript and respond ONLY "
+    "with JSON: {\"summary\": \"...\", \"topics\": [...], "
+    "\"action_items\": [{\"description\": \"...\"}], "
+    "\"sentiment\": \"positive|neutral|negative|mixed\"}.\n\n"
+    "Transcript:\n{text}\n\nJSON:"
+)
+
+
+def extract_json_block(raw: str) -> Optional[Dict[str, Any]]:
+    """JSON extraction ladder: fenced block -> first balanced object ->
+    regex field scraping (reference post_processing_hybrid.py:196-241)."""
+    import json
+
+    fenced = re.search(r"```(?:json)?\s*(\{.*?\})\s*```", raw, re.DOTALL)
+    if fenced:
+        try:
+            return json.loads(fenced.group(1))
+        except json.JSONDecodeError:
+            pass
+
+    start = raw.find("{")
+    if start >= 0:
+        depth = 0
+        for i, ch in enumerate(raw[start:], start):
+            if ch == "{":
+                depth += 1
+            elif ch == "}":
+                depth -= 1
+                if depth == 0:
+                    try:
+                        return json.loads(raw[start : i + 1])
+                    except json.JSONDecodeError:
+                        break
+
+    summary = re.search(r'"summary"\s*:\s*"([^"]*)"', raw)
+    if summary:
+        topics = re.findall(r'"([^"]{2,40})"', raw[summary.end():])
+        return {"summary": summary.group(1), "topics": topics[:6]}
+    return None
+
+
+class LocalLMAnalyzer:
+    """Meeting analysis on a converted llama-family checkpoint (JAX)."""
+
+    def __init__(self, weights_dir: str, model_name: str = "tinyllama-1.1b",
+                 temperature: float = 0.3, max_length: int = 2048):
+        from pathlib import Path
+
+        from .models.lm import LLAMA_CONFIGS, LlamaLM
+        from .models.whisper.convert import load_params
+
+        self.temperature = temperature
+        self.max_length = max_length
+        cfg = LLAMA_CONFIGS[model_name]
+        params = load_params(weights_dir, dtype="bfloat16")
+        import jax.numpy as jnp
+        import jax
+
+        self.lm = LlamaLM(cfg, params=jax.tree.map(jnp.asarray, params))
+
+        tok_file = Path(weights_dir) / "tokenizer.json"
+        if not tok_file.exists():
+            raise ImportError(f"tokenizer.json missing in {weights_dir}")
+        from tokenizers import Tokenizer  # ships with transformers
+
+        self.tokenizer = Tokenizer.from_file(str(tok_file))
+
+    def process(self, text: str) -> Dict[str, Any]:
+        from .post_processing import validate_analysis
+
+        prompt = _ANALYSIS_PROMPT.replace("{text}", text[: self.max_length * 3])
+        ids = self.tokenizer.encode(prompt).ids[-(self.lm.cfg.max_seq - 512):]
+        out_ids = self.lm.generate(
+            np.asarray(ids, dtype=np.int32),
+            max_new_tokens=512,
+            temperature=self.temperature,
+            eos_id=2,  # llama </s>
+        )
+        raw = self.tokenizer.decode([int(t) for t in out_ids])
+        data = extract_json_block(raw)
+        if data is None:
+            return {"error": f"no JSON in model output: {raw[:120]}..."}
+        return validate_analysis(data).to_dict()
+
+
 class HybridLLMPostProcessor:
     """Backend-selecting analyzer with the reference's constructor shape."""
 
@@ -156,10 +244,20 @@ class HybridLLMPostProcessor:
                 logger.warning("OpenAI backend unavailable (%s); trying local", exc)
 
         if self._backend == "heuristic" and local_model:
-            logger.warning(
-                "Local JAX LM backend not yet wired (%s); using heuristic analyzer",
-                local_model,
-            )
+            # local_model: converted checkpoint dir, optionally "dir::name"
+            # to select the architecture config.
+            try:
+                path, _, name = str(local_model).partition("::")
+                self._processor = LocalLMAnalyzer(
+                    path, model_name=name or "tinyllama-1.1b",
+                    temperature=temperature, max_length=max_length,
+                )
+                self._backend = "local"
+                self._model_desc = name or "tinyllama-1.1b"
+            except Exception as exc:
+                logger.warning(
+                    "Local JAX LM unavailable (%s); using heuristic analyzer", exc
+                )
 
         logger.info("LLM backend: %s (%s)", self._backend, self._model_desc)
 
