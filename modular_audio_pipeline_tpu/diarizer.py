@@ -91,6 +91,22 @@ class SpeakerDiarizer(DiarizerProtocol):
 
                 self._embedder = StatsEmbedder()
                 logger.info("Using MFCC-statistics speaker embedder (no checkpoint)")
+
+            # Optional powerset segmentation model (fine boundaries +
+            # overlapped speech); energy VAD regions otherwise.
+            self._segmentation = None
+            seg_dir = Path(
+                os.environ.get(
+                    "MAP_TPU_WEIGHTS",
+                    os.path.join(os.path.expanduser("~"), ".cache", "map_tpu"),
+                )
+            ) / "diarization-segmentation"
+            if (seg_dir / "params.npz").exists():
+                from .models.diarization.segmentation import SegmentationNet
+                from .models.whisper.convert import load_params
+
+                self._segmentation = SegmentationNet(params=load_params(str(seg_dir)))
+                logger.info("Loaded segmentation model from %s", seg_dir)
         except Exception as exc:
             # Reference behaviour: degrade to NoOp rather than fail the run
             # (diarizer.py:146-150).
@@ -104,6 +120,11 @@ class SpeakerDiarizer(DiarizerProtocol):
     # -- internals -------------------------------------------------------------
 
     def _speech_regions(self, audio: np.ndarray, sr: int) -> List[tuple]:
+        if getattr(self, "_segmentation", None) is not None:
+            regions = self._segmentation_regions(audio, sr)
+            if regions:
+                return regions
+
         from .ops.vad_ops import frame_speech_flags, hangover_segments
 
         frame_ms = 30
@@ -113,6 +134,48 @@ class SpeakerDiarizer(DiarizerProtocol):
         if not segs:
             return [(0, len(audio))]
         return [(s * spf, min(len(audio), (e + 1) * spf)) for s, e, _ in segs]
+
+    def _segmentation_regions(self, audio: np.ndarray, sr: int) -> List[tuple]:
+        """Speech regions from the powerset segmentation model: sliding
+        windows (batched at segmentation_batch_size), overlap-aggregated
+        per-speaker activities, speech = any speaker > 0.5."""
+        import jax.numpy as jnp
+
+        from .models.diarization.features import mfcc_batch
+        from .models.diarization.segmentation import (
+            aggregate_windows,
+            sliding_windows,
+        )
+
+        spans = sliding_windows(len(audio), sr)
+        win = spans[0][1] - spans[0][0]
+        acts = []
+        bs = self.segmentation_batch_size
+        for i in range(0, len(spans), bs):
+            chunk = spans[i : i + bs]
+            batch = np.zeros((bs, win), dtype=np.float32)
+            for j, (s, e) in enumerate(chunk):
+                batch[j, : e - s] = audio[s:e]
+            # log-mel features via the shared MFCC frontend's mel stage
+            mel = np.asarray(
+                mfcc_batch(jnp.asarray(batch), sr=sr, n_mfcc=40, n_mels=40)
+            )
+            acts.append(self._segmentation.activities(mel)[: len(chunk)])
+        window_acts = np.concatenate(acts, axis=0)
+
+        global_act = aggregate_windows(window_acts, spans, len(audio), sr)
+        speech = global_act.max(axis=-1) > 0.5  # [n_frames] 10 ms grid
+        hop = sr // 100
+        idx = np.flatnonzero(speech)
+        if idx.size == 0:
+            return []
+        breaks = np.flatnonzero(np.diff(idx) > 1)
+        starts = np.concatenate([[0], breaks + 1])
+        ends = np.concatenate([breaks, [idx.size - 1]])
+        return [
+            (int(idx[s]) * hop, min(len(audio), (int(idx[e]) + 1) * hop))
+            for s, e in zip(starts, ends)
+        ]
 
     def _subsegments(self, audio: np.ndarray, sr: int) -> List[tuple]:
         """(start_sample, end_sample) sliding subsegments inside speech."""
