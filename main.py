@@ -126,6 +126,9 @@ Examples:
     proc_group.add_argument("--batch", action="store_true",
                             help="Process every media file in --media-dir "
                                  "(checkpointed, resumable)")
+    proc_group.add_argument("--serving", action="store_true",
+                            help="Device-resident fast path (one upload, "
+                                 "stats-only downloads; skips crossfades)")
     proc_group.add_argument("--devices", type=int,
                             help="Shard batch work over this many devices")
 
@@ -231,6 +234,29 @@ def main(argv=None) -> int:
                 summary["audio_seconds"] / 60,
             )
             return 0 if ok else 1
+
+        if args.serving:
+            from modular_audio_pipeline_tpu.media_handler import MediaHandler
+            from modular_audio_pipeline_tpu.serving import ServingPipeline
+
+            media = MediaHandler.from_config(config)
+            if args.input:
+                media_file, is_video = media.find_specific_file(args.input)
+            else:
+                media_file, is_video = media.find_media_file()
+            if is_video or not media_file.lower().endswith(".wav"):
+                media_file = media.convert_to_wav(media_file)
+            serving = ServingPipeline(config)
+            result = serving.run_file(media_file, results_dir=config.results_dir)
+            if result.success:
+                logger.info("Serving path complete!")
+                logger.info("  Output: %s", result.output_file)
+                logger.info("  Segments: %d", len(result.segments))
+                if result.metadata.get("rtf"):
+                    logger.info("  Realtime factor: %.1fx", result.metadata["rtf"])
+                return 0
+            logger.error("Processing failed: %s", result.error)
+            return 1
 
         pipeline = AudioPipeline(config)
         result = pipeline.run(input_file=args.input)

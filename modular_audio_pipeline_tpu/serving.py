@@ -289,6 +289,107 @@ class ServingPipeline:
 
     # -- helpers ----------------------------------------------------------------
 
+    def run_file(self, input_wav: str, results_dir: Optional[str] = None):
+        """File-in/JSON-out with the standard output schema.
+
+        Applies the same post-processing as AudioPipeline.run (speaker
+        alignment, timestamp back-mapping, redundancy removal, merging)
+        so the serving path is a drop-in for the stage-by-stage pipeline.
+        Returns a PipelineResult.
+        """
+        import json
+        import os
+        from pathlib import Path
+
+        from .audio_io import read_wav
+        from .pipeline import AudioPipeline, PipelineResult
+        from .redundancy import NoOpRedundancyRemover, RedundancyRemover
+        from .segment_merger import SegmentMerger
+        from .protocols import DiarizationSegment
+
+        cfg = self.config
+        t0 = time.perf_counter()
+        try:
+            audio, sr = read_wav(input_wav)
+            result = self.process(audio, sr)
+
+            diar = [
+                DiarizationSegment(d["speaker"], d["start"], d["end"])
+                for d in result.get("diarization", [])
+            ]
+            aligned = AudioPipeline._align_transcription_with_speakers(
+                result["segments"], diar
+            )
+            mappings = result.get("timestamp_mappings", [])
+            if cfg.preserve_timestamps and mappings:
+                for seg in aligned:
+                    seg["original_start"] = AudioPipeline._map_timestamp_to_original(
+                        seg["start"], mappings
+                    )
+                    seg["original_end"] = AudioPipeline._map_timestamp_to_original(
+                        seg["end"], mappings
+                    )
+
+            remover = (
+                RedundancyRemover.from_config(cfg)
+                if cfg.redundancy.enabled
+                else NoOpRedundancyRemover()
+            )
+            final_segments = remover.remove(aligned)
+            if cfg.segment_merging.enabled:
+                final_segments = SegmentMerger(
+                    max_gap_s=cfg.segment_merging.max_gap_s
+                ).merge(final_segments)
+
+            output_data = {
+                "metadata": {
+                    "source_file": str(input_wav),
+                    "config": {
+                        "model": cfg.transcription.model,
+                        "language": cfg.transcription.language,
+                        "vad_provider": cfg.vad.provider,
+                        "transcription_backend": cfg.transcription.backend,
+                    },
+                },
+                "segments": final_segments,
+            }
+            out_path = None
+            if results_dir:
+                os.makedirs(results_dir, exist_ok=True)
+                out_path = os.path.join(
+                    results_dir, f"{Path(input_wav).stem}_transcription.json"
+                )
+                with open(out_path, "w", encoding="utf-8") as f:
+                    json.dump(output_data, f, ensure_ascii=False, indent=2)
+
+            wall = time.perf_counter() - t0
+            return PipelineResult(
+                success=True,
+                input_file=str(input_wav),
+                output_file=out_path,
+                segments=final_segments,
+                metadata={
+                    "model": cfg.transcription.model,
+                    "backend": cfg.transcription.backend,
+                    "vad": cfg.vad.provider,
+                    "serving": True,
+                    "wall_time_s": round(wall, 3),
+                    "audio_duration_s": round(result["duration"], 3),
+                    "rtf": round(result["duration"] / wall, 2) if wall > 0 else None,
+                },
+            )
+        except Exception as exc:
+            logger.exception("Serving pipeline failed: %s", exc)
+            from .pipeline import PipelineResult
+
+            return PipelineResult(
+                success=False,
+                input_file=str(input_wav),
+                output_file=None,
+                segments=[],
+                error=str(exc),
+            )
+
     def _keep_intervals(
         self, block_sq, bands, frame_db, n_valid_ms: int, sr: int
     ) -> Tuple[List[Tuple[int, int]], List[TimestampMapping]]:

@@ -87,3 +87,30 @@ class TestBlockSilence:
         thresh_db = 10 * np.log10(total_ms2 / 32768.0**2) - 40.0
         expected = detect_nonsilent_ranges(x, sr, 250, thresh_db)
         assert got == expected
+
+
+class TestServingRunFile:
+    def test_json_schema_parity(self, pipeline, tmp_path):
+        from modular_audio_pipeline_tpu.audio_io import write_wav
+
+        path = str(tmp_path / "m.wav")
+        write_wav(path, make_audio(40.0), SR)
+        result = pipeline.run_file(path, results_dir=str(tmp_path / "out"))
+        assert result.success, result.error
+        assert result.output_file
+
+        import json
+
+        with open(result.output_file, encoding="utf-8") as f:
+            data = json.load(f)
+        assert set(data["metadata"]["config"].keys()) == {
+            "model", "language", "vad_provider", "transcription_backend",
+        }
+        for seg in data["segments"]:
+            assert {"speaker", "start", "end", "text"} <= set(seg.keys())
+        assert result.metadata["serving"] is True
+        assert result.metadata["rtf"] is not None
+
+    def test_failure_is_result_not_exception(self, pipeline):
+        result = pipeline.run_file("/nonexistent.wav")
+        assert not result.success and result.error
