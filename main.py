@@ -226,7 +226,7 @@ def main(argv=None) -> int:
             from modular_audio_pipeline_tpu.parallel.batch import BatchDriver
 
             driver = BatchDriver(config)
-            summary = driver.run()
+            summary = driver.run(serving=args.serving)
             ok = summary["failed"] == 0
             logger.info(
                 "Batch complete: %d ok, %d failed, %.1f audio-min processed",

@@ -77,7 +77,9 @@ class BatchDriver:
 
     # -- main loop -----------------------------------------------------------------
 
-    def run(self, cleanup_per_file: bool = False) -> Dict[str, Any]:
+    def run(self, cleanup_per_file: bool = False, serving: bool = False) -> Dict[str, Any]:
+        if serving:
+            return self._run_serving()
         from ..pipeline import AudioPipeline
 
         files = self.list_media_files()
@@ -144,4 +146,139 @@ class BatchDriver:
             ),
         }
         logger.info("Batch summary: %s", summary)
+        return summary
+
+    def _run_serving(self) -> Dict[str, Any]:
+        """Serving-path batch: device-resident pipeline + file prefetch.
+
+        The next file's read/decode overlaps the current file's device
+        work (runtime.prefetch); models stay loaded and compiled across
+        the whole directory. Same resume ledger as the standard path.
+        """
+        from ..runtime.prefetch import AudioPrefetcher
+        from ..serving import ServingPipeline
+
+        files = self.list_media_files()
+        logger.info(
+            "Serving batch: %d media files in %s", len(files), self.config.media_dir
+        )
+
+        todo: List[str] = []
+        skipped = 0
+        audio_seconds = 0.0
+        for path in files:
+            prior = self._status.get(self._file_key(path))
+            if prior and prior.get("success") and os.path.exists(
+                prior.get("output_file") or ""
+            ):
+                skipped += 1
+                audio_seconds += prior.get("audio_duration_s", 0.0)
+            else:
+                todo.append(path)
+
+        serving = ServingPipeline(self.config)
+        succeeded = failed = 0
+        wall_start = time.perf_counter()
+
+        def load(path: str):
+            # decode + resample on the prefetch thread
+            from ..audio_io import read_wav, resample_poly
+
+            audio, sr = read_wav(path)
+            target = self.config.audio.sample_rate
+            if sr != target:
+                audio = resample_poly(audio, sr, target)
+                sr = target
+            return audio, sr
+
+        wav_todo = [p for p in todo if p.lower().endswith(".wav")]
+        other = [p for p in todo if not p.lower().endswith(".wav")]
+        if other:
+            logger.info("%d non-WAV files take the standard conversion path", len(other))
+
+        for path, audio, sr, err in AudioPrefetcher(wav_todo, loader=load):
+            if err is not None:
+                failed += 1
+                self._status[self._file_key(path)] = {
+                    "success": False, "error": str(err), "finished_at": time.time(),
+                }
+                self._save_status()
+                continue
+            t0 = time.perf_counter()
+            try:
+                pipeline_result = serving.run_file(
+                    path, results_dir=self.config.results_dir, audio=audio, sr=sr
+                )
+                ok = pipeline_result.success
+                entry = {
+                    "success": ok,
+                    "output_file": pipeline_result.output_file,
+                    "error": pipeline_result.error,
+                    "wall_time_s": round(time.perf_counter() - t0, 3),
+                    "audio_duration_s": pipeline_result.metadata.get(
+                        "audio_duration_s", 0.0
+                    ),
+                    "rtf": pipeline_result.metadata.get("rtf"),
+                    "finished_at": time.time(),
+                }
+            except Exception as exc:
+                ok = False
+                entry = {
+                    "success": False, "error": str(exc),
+                    "wall_time_s": round(time.perf_counter() - t0, 3),
+                    "finished_at": time.time(),
+                }
+            self._status[self._file_key(path)] = entry
+            self._save_status()
+            if ok:
+                succeeded += 1
+                audio_seconds += entry.get("audio_duration_s", 0.0)
+            else:
+                failed += 1
+
+        # non-WAV files: conversion + serving file path
+        for path in other:
+            t0 = time.perf_counter()
+            from ..media_handler import MediaHandler
+
+            media = MediaHandler.from_config(self.config)
+            try:
+                wav = media.convert_to_wav(path)
+                pipeline_result = serving.run_file(wav, results_dir=self.config.results_dir)
+                ok = pipeline_result.success
+            except Exception as exc:
+                ok = False
+                pipeline_result = None
+                logger.error("Failed: %s (%s)", Path(path).name, exc)
+            entry = {
+                "success": ok,
+                "output_file": getattr(pipeline_result, "output_file", None),
+                "error": getattr(pipeline_result, "error", None),
+                "wall_time_s": round(time.perf_counter() - t0, 3),
+                "audio_duration_s": (
+                    pipeline_result.metadata.get("audio_duration_s", 0.0)
+                    if ok else 0.0
+                ),
+                "finished_at": time.time(),
+            }
+            self._status[self._file_key(path)] = entry
+            self._save_status()
+            succeeded += 1 if ok else 0
+            failed += 0 if ok else 1
+
+        wall = time.perf_counter() - wall_start
+        summary = {
+            "total": len(files),
+            "succeeded": succeeded,
+            "failed": failed,
+            "skipped": skipped,
+            "audio_seconds": round(audio_seconds, 1),
+            "wall_time_s": round(wall, 1),
+            "throughput_audio_hours_per_hour": (
+                round(audio_seconds / wall, 2)
+                if wall > 1.0 and (succeeded or failed)
+                else None
+            ),
+        }
+        logger.info("Serving batch summary: %s", summary)
         return summary

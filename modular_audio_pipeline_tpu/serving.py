@@ -289,12 +289,19 @@ class ServingPipeline:
 
     # -- helpers ----------------------------------------------------------------
 
-    def run_file(self, input_wav: str, results_dir: Optional[str] = None):
+    def run_file(
+        self,
+        input_wav: str,
+        results_dir: Optional[str] = None,
+        audio: Optional[np.ndarray] = None,
+        sr: Optional[int] = None,
+    ):
         """File-in/JSON-out with the standard output schema.
 
         Applies the same post-processing as AudioPipeline.run (speaker
         alignment, timestamp back-mapping, redundancy removal, merging)
         so the serving path is a drop-in for the stage-by-stage pipeline.
+        Pass ``audio``/``sr`` to skip the file read (prefetched batches).
         Returns a PipelineResult.
         """
         import json
@@ -310,7 +317,8 @@ class ServingPipeline:
         cfg = self.config
         t0 = time.perf_counter()
         try:
-            audio, sr = read_wav(input_wav)
+            if audio is None:
+                audio, sr = read_wav(input_wav)
             result = self.process(audio, sr)
 
             diar = [

@@ -114,3 +114,46 @@ class TestServingRunFile:
     def test_failure_is_result_not_exception(self, pipeline):
         result = pipeline.run_file("/nonexistent.wav")
         assert not result.success and result.error
+
+
+class TestServingBatch:
+    def test_batch_serving_with_prefetch(self, tmp_path):
+        from modular_audio_pipeline_tpu.audio_io import write_wav
+        from modular_audio_pipeline_tpu.parallel.batch import BatchDriver
+
+        d = tmp_path / "media"
+        d.mkdir()
+        for i in range(3):
+            write_wav(str(d / f"f{i}.wav"), make_audio(35.0, seed=i), SR)
+
+        cfg = PipelineConfig(media_dir=str(d))
+        cfg.transcription.model = "test-tiny"
+        cfg.transcription.weights_path = "random:0"
+        cfg.transcription.beam_size = 1
+        cfg.transcription.max_decode_tokens = 16
+        cfg.transcription.language = "en"
+        cfg.transcription.batch_size = 2
+
+        driver = BatchDriver(cfg)
+        summary = driver.run(serving=True)
+        assert summary["succeeded"] == 3 and summary["failed"] == 0
+
+        # resume skips
+        summary2 = BatchDriver(cfg).run(serving=True)
+        assert summary2["skipped"] == 3
+
+
+class TestPrefetcher:
+    def test_order_and_errors(self, tmp_path):
+        from modular_audio_pipeline_tpu.audio_io import write_wav
+        from modular_audio_pipeline_tpu.runtime.prefetch import AudioPrefetcher
+
+        good = str(tmp_path / "a.wav")
+        write_wav(good, np.zeros(SR, np.float32), SR)
+        bad = str(tmp_path / "missing.wav")
+
+        results = list(AudioPrefetcher([good, bad, good], depth=2))
+        assert [r[0] for r in results] == [good, bad, good]
+        assert results[0][3] is None and len(results[0][1]) == SR
+        assert results[1][3] is not None  # error surfaced, iteration continued
+        assert results[2][3] is None
