@@ -1,0 +1,122 @@
+"""Fine-tuning data pipeline: (audio, transcript) -> (mel, tokens, targets).
+
+Consumes a JSONL manifest (``{"audio": path, "text": transcript}`` per
+line) or in-memory pairs; produces fixed-shape batches for
+:func:`..training.make_train_step`:
+
+- mel ``[B, n_mels, 3000]`` (30 s window, front-padded audio),
+- tokens ``[B, S]`` teacher-forcing inputs (SOT seq + text + EOT, EOT-padded),
+- targets ``[B, S]`` next-token labels with IGNORE_INDEX on the SOT prefix
+  and padding.
+
+Shapes are static per (batch, seq) bucket; batches stream through the
+runtime prefetcher so decode overlaps device steps.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..models.whisper.config import WhisperDims
+from ..models.whisper.tokenizer import WhisperTokenizer
+from .whisper_train import IGNORE_INDEX
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["TranscriptDataset", "encode_example"]
+
+_SR = 16000
+_WINDOW = 30 * _SR
+
+
+def encode_example(
+    tokenizer: WhisperTokenizer,
+    text: str,
+    language: str = "en",
+    task: str = "transcribe",
+    max_len: int = 448,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Transcript -> (tokens [S], targets [S]) for teacher forcing."""
+    sot = tokenizer.sot_sequence(language, task, timestamps=False)
+    text_ids = tokenizer.encode(" " + text.strip())
+    full = (sot + text_ids + [tokenizer.eot])[:max_len + 1]
+
+    tokens = np.asarray(full[:-1], dtype=np.int32)
+    targets = np.asarray(full[1:], dtype=np.int32)
+    # don't train on predicting the SOT prefix itself
+    targets[: len(sot) - 1] = IGNORE_INDEX
+    return tokens, targets
+
+
+@dataclass
+class TranscriptDataset:
+    """Batched iterator over (audio, transcript) pairs."""
+
+    examples: List[Tuple[str, str]]  # (wav_path, text)
+    tokenizer: WhisperTokenizer
+    dims: WhisperDims
+    language: str = "en"
+    batch_size: int = 8
+    seq_len: int = 224
+    shuffle_seed: Optional[int] = 0
+
+    @classmethod
+    def from_manifest(cls, path: str, tokenizer, dims, **kw) -> "TranscriptDataset":
+        examples = []
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                row = json.loads(line)
+                examples.append((row["audio"], row["text"]))
+        logger.info("Manifest %s: %d examples", path, len(examples))
+        return cls(examples=examples, tokenizer=tokenizer, dims=dims, **kw)
+
+    def __len__(self) -> int:
+        return (len(self.examples) + self.batch_size - 1) // self.batch_size
+
+    def _load_audio(self, path: str) -> np.ndarray:
+        from ..audio_io import read_wav, resample_poly
+
+        audio, sr = read_wav(path)
+        if sr != _SR:
+            audio = resample_poly(audio, sr, _SR)
+        out = np.zeros(_WINDOW, dtype=np.float32)
+        n = min(len(audio), _WINDOW)
+        out[:n] = audio[:n]
+        return out
+
+    def batches(self, epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Yield (mel, tokens, targets) host arrays, fixed shapes."""
+        import jax.numpy as jnp
+
+        from ..ops.mel import log_mel
+
+        order = np.arange(len(self.examples))
+        if self.shuffle_seed is not None:
+            np.random.default_rng(self.shuffle_seed + epoch).shuffle(order)
+
+        bs, s = self.batch_size, self.seq_len
+        for i in range(0, len(order), bs):
+            idx = order[i : i + bs]
+            audio = np.zeros((bs, _WINDOW), dtype=np.float32)
+            tokens = np.full((bs, s), self.tokenizer.eot, dtype=np.int32)
+            targets = np.full((bs, s), IGNORE_INDEX, dtype=np.int32)
+
+            for j, k in enumerate(idx):
+                path, text = self.examples[k]
+                audio[j] = self._load_audio(path)
+                t, y = encode_example(
+                    self.tokenizer, text, language=self.language, max_len=s
+                )
+                n = min(len(t), s)
+                tokens[j, :n] = t[:n]
+                targets[j, :n] = y[:n]
+
+            mel = np.asarray(log_mel(jnp.asarray(audio), n_mels=self.dims.n_mels))
+            yield mel, tokens, targets
