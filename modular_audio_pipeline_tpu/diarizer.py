@@ -27,7 +27,7 @@ import numpy as np
 
 from .audio_io import read_wav
 from .config import PipelineConfig, RetryConfig
-from .exceptions import DiarizationError, ModelLoadError
+from .exceptions import DiarizationError
 from .protocols import DiarizationSegment, DiarizerProtocol
 from .utils import get_audio_duration, retry_with_backoff
 

@@ -8,8 +8,6 @@ and otherwise cut the dendrogram at a cosine-distance threshold.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 from scipy.cluster.hierarchy import fcluster, linkage
 from scipy.spatial.distance import pdist

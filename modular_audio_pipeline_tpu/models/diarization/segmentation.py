@@ -16,7 +16,6 @@ default when no checkpoint exists.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax

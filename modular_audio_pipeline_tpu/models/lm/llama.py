@@ -13,7 +13,6 @@ tests with random weights.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple

@@ -14,7 +14,6 @@ whole separator is FFT-bound.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -13,7 +13,6 @@ whisper.convert) and train with optax against (mix, vocals) pairs via
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax

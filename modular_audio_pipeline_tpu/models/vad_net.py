@@ -19,7 +19,6 @@ The reference loads Silero VAD through torch.hub
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, List, Optional
 
 import jax

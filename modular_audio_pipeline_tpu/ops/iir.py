@@ -21,8 +21,6 @@ stays fully parallel.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

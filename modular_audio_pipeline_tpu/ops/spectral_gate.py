@@ -19,8 +19,6 @@ the FFT pipeline, and the only HBM round-trips are the FFTs themselves.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

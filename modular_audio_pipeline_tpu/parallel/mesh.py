@@ -15,7 +15,7 @@ so the same code path runs from laptop CPU to a v5e pod slice.
 from __future__ import annotations
 
 import logging
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import numpy as np

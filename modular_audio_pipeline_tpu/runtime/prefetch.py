@@ -10,7 +10,6 @@ stage-level pipeline-parallelism analog called out in SURVEY.md §2
 from __future__ import annotations
 
 import logging
-import threading
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Callable, Iterator, List, Optional, Tuple
 

@@ -8,7 +8,6 @@ gradient psum and the TP block psums GSPMD derives from the param specs.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
