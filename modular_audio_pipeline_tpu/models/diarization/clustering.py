@@ -36,6 +36,14 @@ def cluster_embeddings(
     if n == 1 or max_speakers <= 1:
         return np.zeros(n, dtype=np.int32)
 
+    # Homogeneity check in the RAW cosine space first: standardisation
+    # rescales to unit variance by construction, so a single-speaker
+    # recording would look as spread out as a multi-speaker one. If the
+    # raw spread is below typical same-speaker variation, it's one voice.
+    raw_dists = pdist(embeddings.astype(np.float64), metric="cosine")
+    if min_speakers <= 1 and np.percentile(raw_dists, 90) < 0.10:
+        return np.zeros(n, dtype=np.int32)
+
     x = embeddings.astype(np.float64)
     x = (x - x.mean(axis=0)) / (x.std(axis=0) + 1e-8)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-8)
