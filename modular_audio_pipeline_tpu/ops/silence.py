@@ -123,6 +123,12 @@ def _crossfade_concat(
     if not chunks:
         return np.empty(0, dtype=np.float32)
 
+    from ..runtime.native_lib import native_crossfade_concat
+
+    native = native_crossfade_concat(chunks, crossfades_ms, sr)
+    if native is not None:
+        return native
+
     total = sum(len(c) for c in chunks)
     out = np.empty(total, dtype=np.float32)
     pos = len(chunks[0])

@@ -87,7 +87,8 @@ int64_t crossfade_concat(const float** chunks, const int64_t* chunk_lens,
     if (xf > len) xf = len;
     if (xf > 0) {
       float* tail = out + pos - xf;
-      const float step = 1.0f / static_cast<float>(xf);
+      // endpoint-inclusive ramp: matches np.linspace(0, 1, xf)
+      const float step = xf > 1 ? 1.0f / static_cast<float>(xf - 1) : 1.0f;
       for (int64_t k = 0; k < xf; ++k) {
         const float r = step * static_cast<float>(k);
         tail[k] = tail[k] * (1.0f - r) + chunk[k] * r;

@@ -75,6 +75,24 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib.dtw_path.restype = None
+        lib.pcm16_to_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+        ]
+        lib.pcm16_to_f32.restype = None
+        lib.f32_to_pcm16.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int64,
+        ]
+        lib.f32_to_pcm16.restype = None
+        lib.crossfade_concat.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.crossfade_concat.restype = ctypes.c_int64
         _lib = lib
         logger.debug("Loaded native runtime from %s", path)
     except OSError as exc:
@@ -102,3 +120,56 @@ def native_dtw_path(cost: np.ndarray) -> Optional[np.ndarray]:
         cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return cols
+
+
+def native_pcm16_to_f32(pcm: np.ndarray) -> Optional[np.ndarray]:
+    lib = load_native()
+    if lib is None:
+        return None
+    pcm = np.ascontiguousarray(pcm, dtype=np.int16)
+    out = np.empty(pcm.shape, dtype=np.float32)
+    lib.pcm16_to_f32(
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(pcm.size),
+    )
+    return out
+
+
+def native_f32_to_pcm16(x: np.ndarray) -> Optional[np.ndarray]:
+    lib = load_native()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    out = np.empty(x.shape, dtype=np.int16)
+    lib.f32_to_pcm16(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ctypes.c_int64(x.size),
+    )
+    return out
+
+
+def native_crossfade_concat(chunks, crossfades_ms, sr: int) -> Optional[np.ndarray]:
+    """C++ crossfaded concatenation; None when the native lib is missing."""
+    lib = load_native()
+    if lib is None or not chunks:
+        return None
+    spms = sr // 1000
+    arrs = [np.ascontiguousarray(c, dtype=np.float32) for c in chunks]
+    n = len(arrs)
+    ptrs = (ctypes.POINTER(ctypes.c_float) * n)(
+        *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for a in arrs]
+    )
+    lens = np.asarray([len(a) for a in arrs], dtype=np.int64)
+    xfs = np.zeros(n, dtype=np.int32)
+    xfs[1:] = np.asarray([int(x) * spms for x in crossfades_ms], dtype=np.int32)
+    out = np.empty(int(lens.sum()), dtype=np.float32)
+    written = lib.crossfade_concat(
+        ptrs,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        xfs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(n),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out[:written]

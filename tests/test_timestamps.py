@@ -105,3 +105,40 @@ class TestWordsInPipeline:
             for seg in with_words:
                 for w in seg["words"]:
                     assert w["start"] <= w["end"]
+
+
+@pytest.mark.skipif(not have_native(), reason="native runtime unavailable")
+class TestNativePCMAndCrossfade:
+    def test_pcm_conversions_match_numpy(self, rng):
+        from modular_audio_pipeline_tpu.runtime.native_lib import (
+            native_f32_to_pcm16,
+            native_pcm16_to_f32,
+        )
+
+        pcm = (rng.standard_normal(10000) * 20000).astype(np.int16)
+        np.testing.assert_allclose(
+            native_pcm16_to_f32(pcm), pcm.astype(np.float32) / 32768.0, atol=1e-7
+        )
+        x = rng.standard_normal(10000).astype(np.float32) * 1.2  # incl. clipping
+        expected = np.clip(x * 32768.0, -32768, 32767).astype(np.int16)
+        got = native_f32_to_pcm16(x)
+        assert np.abs(got.astype(np.int32) - expected.astype(np.int32)).max() <= 1
+
+    def test_crossfade_matches_numpy_fallback(self, rng):
+        import modular_audio_pipeline_tpu.runtime.native_lib as nl
+        from modular_audio_pipeline_tpu.ops.silence import _crossfade_concat
+
+        chunks = [rng.standard_normal(3000).astype(np.float32) for _ in range(4)]
+        xfs = [20, 5, 0]
+        native = nl.native_crossfade_concat(chunks, xfs, 16000)
+
+        # force the numpy path by monkeypatching the loader
+        orig = nl.native_crossfade_concat
+        nl.native_crossfade_concat = lambda *a, **k: None
+        try:
+            fallback = _crossfade_concat(chunks, xfs, 16000)
+        finally:
+            nl.native_crossfade_concat = orig
+
+        assert len(native) == len(fallback)
+        np.testing.assert_allclose(native, fallback, atol=1e-5)
