@@ -126,15 +126,12 @@ class MediaHandlerProtocol(Protocol):
 
     def find_media_file(self) -> Tuple[str, bool]:
         """Return (path, is_video) for the first discovered media file."""
-        ...
 
     def convert_to_wav(self, input_path: str) -> str:
         """Convert any supported media file to mono 16-bit WAV."""
-        ...
 
     def validate_file(self, file_path: str) -> bool:
         """Raise FileValidationError unless the file is usable."""
-        ...
 
 
 @runtime_checkable
@@ -144,16 +141,16 @@ class PreprocessorProtocol(Protocol):
     def reduce_stationary_noise(
         self, input_wav: str, noise_sample_path: Optional[str] = None
     ) -> str:
-        ...
+        """Reduce stationary noise; returns the denoised WAV path."""
 
     def normalize_audio(self, input_wav: str) -> str:
-        ...
+        """Peak-normalize to mono 16-bit at the target rate; returns the path."""
 
     def normalize_loudness(self, input_wav: str, target_lufs: float = -16.0) -> str:
-        ...
+        """BS.1770 loudness normalization toward ``target_lufs``."""
 
     def remove_silence(self, input_wav: str) -> Tuple[str, List[TimestampMapping]]:
-        ...
+        """Strip silent spans; returns (path, mappings to the original timeline)."""
 
 
 @runtime_checkable
@@ -161,10 +158,10 @@ class VocalSeparatorProtocol(Protocol):
     """Isolate vocals from music-contaminated audio."""
 
     def extract_vocals(self, input_wav: str) -> str:
-        ...
+        """Return the vocal-stem WAV path (input unchanged when not needed)."""
 
     def is_separation_needed(self, input_wav: str) -> bool:
-        ...
+        """True when music-detection says separation would help."""
 
 
 @runtime_checkable
@@ -174,10 +171,10 @@ class VADProtocol(Protocol):
     def filter_voice(
         self, input_wav: str, output_dir: str
     ) -> Tuple[str, List[TimestampMapping]]:
-        ...
+        """Keep voiced spans only; returns (path, timeline mappings)."""
 
     def detect_speech_segments(self, input_wav: str) -> List[Tuple[float, float]]:
-        ...
+        """(start_s, end_s) speech spans without modifying the audio."""
 
 
 @runtime_checkable
@@ -186,13 +183,12 @@ class TranscriberProtocol(Protocol):
 
     def transcribe(self, input_wav: str) -> Dict[str, Any]:
         """Return {"text": ..., "segments": [{start, end, text, ...}], ...}."""
-        ...
 
     def is_loaded(self) -> bool:
-        ...
+        """Whether weights / compiled programs are resident."""
 
     def load_model(self) -> None:
-        ...
+        """Load weights and warm compiled programs (idempotent)."""
 
 
 @runtime_checkable
@@ -202,13 +198,13 @@ class DiarizerProtocol(Protocol):
     def diarize(
         self, audio_path: str, min_speakers: int = 2, max_speakers: int = 5
     ) -> List[DiarizationSegment]:
-        ...
+        """Speaker turns within the given speaker-count bounds."""
 
     def is_loaded(self) -> bool:
-        ...
+        """Whether weights / compiled programs are resident."""
 
     def load_model(self) -> None:
-        ...
+        """Load weights and warm compiled programs (idempotent)."""
 
 
 @runtime_checkable
@@ -216,7 +212,7 @@ class RedundancyRemoverProtocol(Protocol):
     """Drop near-duplicate consecutive transcription segments."""
 
     def remove(self, segments: List[Dict]) -> List[Dict]:
-        ...
+        """Filtered copy with near-duplicate consecutive texts dropped."""
 
     def is_similar(self, a: str, b: str) -> bool:
-        ...
+        """True when two texts exceed the similarity threshold."""
