@@ -69,6 +69,7 @@ class DecodeOptions:
     max_initial_timestamp: float = 1.0
     suppress_blank: bool = True
     suppress_non_speech: bool = True
+    suppress_tokens: Tuple[int, ...] = ()  # extra ids to mask (faster-whisper opt)
     prompt_tokens: Tuple[int, ...] = ()
     length_penalty: Optional[float] = None  # None => simple length norm
 
@@ -93,6 +94,9 @@ def _build_filter_tables(tok: WhisperTokenizer, opts: DecodeOptions, n_vocab: in
             suppress[t] = 1.0
     if opts.suppress_non_speech:
         for t in tok.non_speech_tokens():
+            suppress[t] = 1.0
+    for t in opts.suppress_tokens:
+        if 0 <= t < n_vocab:
             suppress[t] = 1.0
     if opts.timestamps:
         suppress[tok.no_timestamps] = 1.0
@@ -499,7 +503,8 @@ def decode_windows_async(
             rng if rng is not None else jax.random.PRNGKey(0),
         )
     return {"tokens": tokens, "sum_lp": sum_lp, "ns_prob": ns_prob,
-            "beam": beam, "b": b, "k": opts.beam_size, "eot": tokenizer.eot}
+            "beam": beam, "b": b, "k": opts.beam_size, "eot": tokenizer.eot,
+            "length_penalty": opts.length_penalty}
 
 
 def finalize_decode(pending) -> DecodeResult:
@@ -510,8 +515,14 @@ def finalize_decode(pending) -> DecodeResult:
         tokens = np.asarray(pending["tokens"]).reshape(b, k, -1)
         sum_lp = np.asarray(pending["sum_lp"]).reshape(b, k)
         lengths = (tokens != eot).sum(axis=-1)
-        # length-normalised selection (whisper's default total/length)
-        norm = sum_lp / np.maximum(lengths, 1)
+        penalty = pending.get("length_penalty")
+        if penalty is not None:
+            # Google NMT penalty: ((5 + len) / 6) ** alpha (faster-whisper's
+            # length_penalty option)
+            norm = sum_lp / ((5.0 + np.maximum(lengths, 1)) / 6.0) ** penalty
+        else:
+            # whisper default: simple total/length normalisation
+            norm = sum_lp / np.maximum(lengths, 1)
         best = norm.argmax(axis=1)
         tokens = tokens[np.arange(b), best]
         sum_lp = sum_lp[np.arange(b), best]

@@ -109,6 +109,19 @@ class JaxWhisperBackend:
         self.params = None
         self.tokenizer: Optional[WhisperTokenizer] = None
 
+        # Fail-fast signal: with lazy loading the reference only discovers a
+        # missing checkpoint AFTER all preprocessing has run; warn upfront.
+        resolved = self.weights_path or default_weights_dir(model_name)
+        if (
+            not str(resolved).startswith("random")
+            and not Path(resolved, "params.npz").exists()
+            and os.environ.get("MAP_TPU_ALLOW_RANDOM_WEIGHTS") != "1"
+        ):
+            logger.warning(
+                "No converted checkpoint at %s — transcription will fail at "
+                "load time unless one is converted first", resolved,
+            )
+
     # -- lifecycle ---------------------------------------------------------
 
     def load(self) -> None:

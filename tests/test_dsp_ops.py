@@ -341,3 +341,10 @@ class TestMel:
 
         ours = np.asarray(mel.log_mel(jnp.asarray(audio)))
         np.testing.assert_allclose(ours, expected, rtol=1e-3, atol=1e-4)
+
+    def test_128_mel_variant(self, rng):
+        """large-v3 family uses 128 mel bins."""
+        audio = (0.1 * rng.standard_normal(SR)).astype(np.float32)
+        m = np.asarray(mel.log_mel(jnp.asarray(audio), n_mels=128))
+        assert m.shape == (128, 100)
+        assert np.isfinite(m).all()

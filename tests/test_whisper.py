@@ -228,3 +228,33 @@ class TestCheckpointRoundTrip:
     def test_flatten_unflatten(self):
         tree = {"a": {"b": np.ones(3), "c": {"d": np.zeros(2)}}}
         assert unflatten_tree(flatten_tree(tree))["a"]["c"]["d"].shape == (2,)
+
+
+class TestDecodeOptionsParity:
+    def test_suppress_tokens_extra(self, params, mel_input):
+        tok = DummyTokenizer()
+        # suppress everything the unsuppressed run chose -> output changes
+        base = decode_windows(
+            params, DIMS, tok, mel_input,
+            DecodeOptions(language="en", beam_size=1, max_tokens=8),
+        )
+        banned = tuple(
+            int(t) for t in base.tokens[0] if int(t) < tok.eot
+        )
+        if banned:
+            alt = decode_windows(
+                params, DIMS, tok, mel_input,
+                DecodeOptions(language="en", beam_size=1, max_tokens=8,
+                              suppress_tokens=banned),
+            )
+            alt_text_toks = {int(t) for t in alt.tokens[0] if int(t) < tok.eot}
+            assert not (set(banned) & alt_text_toks)
+
+    def test_length_penalty_changes_selection_shape(self, params, mel_input):
+        tok = DummyTokenizer()
+        r = decode_windows(
+            params, DIMS, tok, mel_input,
+            DecodeOptions(language="en", beam_size=3, max_tokens=8,
+                          length_penalty=1.0),
+        )
+        assert r.tokens.shape[0] == 1  # mechanics run with the penalty path
