@@ -377,7 +377,17 @@ def _init_block(key, d: int, cross: bool, dtype) -> Params:
 
 
 def init_params(dims: WhisperDims, seed: int = 0, dtype=jnp.bfloat16) -> Params:
-    """Seeded random parameters with the exact checkpoint tree layout."""
+    """Seeded random parameters with the exact checkpoint tree layout.
+
+    The whole tree initialises inside ONE jitted program: eager per-leaf
+    creation would issue dozens of separate compiles (minutes on a
+    remote-compile backend) for a large model."""
+    return _init_params_jit(dims, seed, jnp.dtype(dtype).name)
+
+
+@partial(jax.jit, static_argnames=("dims", "seed", "dtype_name"))
+def _init_params_jit(dims: WhisperDims, seed: int, dtype_name: str) -> Params:
+    dtype = jnp.dtype(dtype_name)
     key = jax.random.PRNGKey(seed)
     k_enc, k_dec, k_conv1, k_conv2, k_emb = jax.random.split(key, 5)
     d = dims.n_audio_state
