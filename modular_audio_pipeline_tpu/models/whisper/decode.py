@@ -344,9 +344,18 @@ def _beam_loop(
         done = done[flat_src]
         max_ts = max_ts[flat_src]
         last = last[flat_src]
-        cache = KVCache(
-            k=cache.k[:, flat_src], v=cache.v[:, flat_src], pos=cache.pos
-        )
+        # Cache reorder as a one-hot permutation matmul: a row gather over
+        # the batch axis lowers to a per-row while loop on TPU (profiled at
+        # ~1.4 ms/step); the [BK, BK] einsum streams the cache once
+        # through the MXU instead.
+        perm = jax.nn.one_hot(flat_src, bk, dtype=cache.k.dtype)  # [BK_new, BK_old]
+        new_ck = jnp.einsum(
+            "nb,lbhcd->lnhcd", perm, cache.k, preferred_element_type=jnp.float32
+        ).astype(cache.k.dtype)
+        new_cv = jnp.einsum(
+            "nb,lbhcd->lnhcd", perm, cache.v, preferred_element_type=jnp.float32
+        ).astype(cache.v.dtype)
+        cache = KVCache(k=new_ck, v=new_cv, pos=cache.pos)
 
         next_tok = next_tok.reshape(bk)
         beam_lp = top_lp.reshape(bk)
