@@ -155,6 +155,39 @@ def write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
         raise AudioProcessingError(f"Failed to write WAV file: {path}", details=str(exc))
 
 
+def read_wav_raw_int16(path: str) -> Tuple[Optional[np.ndarray], int]:
+    """Zero-conversion fast path: mono 16-bit PCM WAVs return the raw
+    int16 samples (half the bytes of f32 — matters when the next hop is a
+    slow host->device link; the device converts to f32 in-graph). Returns
+    (None, sr) for any other layout; callers fall back to :func:`read_wav`.
+    """
+    try:
+        data = Path(path).read_bytes()
+    except OSError as exc:
+        raise AudioProcessingError(f"Failed to read WAV file: {path}", details=str(exc))
+    if len(data) < 44 or data[:4] != _RIFF or data[8:12] != _WAVE:
+        raise AudioProcessingError(f"Not a RIFF/WAVE file: {path}")
+
+    fmt = None
+    pcm = None
+    pos = 12
+    while pos + 8 <= len(data):
+        chunk_id = data[pos : pos + 4]
+        (chunk_size,) = struct.unpack_from("<I", data, pos + 4)
+        if chunk_id == _FMT:
+            fmt = struct.unpack_from("<HHIIHH", data, pos + 8)
+        elif chunk_id == _DATA:
+            pcm = data[pos + 8 : pos + 8 + chunk_size]
+        pos += 8 + chunk_size + (chunk_size & 1)
+
+    if fmt is None or pcm is None:
+        raise AudioProcessingError(f"WAV missing fmt/data chunk: {path}")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != _PCM or channels != 1 or bits != 16:
+        return None, sample_rate
+    return np.frombuffer(pcm, dtype=np.int16), sample_rate
+
+
 def wav_info(path: str) -> dict:
     """Header-only metadata: duration, sample_rate, channels, bit depth."""
     with open(path, "rb") as f:

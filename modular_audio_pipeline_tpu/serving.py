@@ -57,6 +57,9 @@ def _dsp_stats_program(sr: int, denoise: bool, prop_decrease: float, target_lufs
 
     @jax.jit
     def run(x, noise_start):
+        if x.dtype == jnp.int16:
+            # int16 uploads halve host->device bytes; convert in-graph
+            x = x.astype(jnp.float32) * (1.0 / 32768.0)
         if denoise:
             noise_clip = jax.lax.dynamic_slice(x, (noise_start,), (2 * sr,))
             x = spectral_gate_stationary(x, noise_clip, sr, prop_decrease=prop_decrease)
@@ -179,8 +182,16 @@ class ServingPipeline:
         self.backend.load()
         duration = len(audio) / sr
 
-        padded, n_valid = pad_to_bucket(np.asarray(audio, np.float32), sr)
+        audio = np.asarray(audio)
+        if audio.dtype != np.int16:  # int16 stays raw: half the upload bytes
+            audio = audio.astype(np.float32, copy=False)
+        padded, n_valid = pad_to_bucket(audio, sr)
         dev_audio = jnp.asarray(padded)
+        dev_f32 = (
+            dev_audio
+            if dev_audio.dtype == jnp.float32
+            else dev_audio.astype(jnp.float32) * (1.0 / 32768.0)
+        )
 
         # noise profile position (device features, host percentile decision)
         noise_start = 0
@@ -188,7 +199,7 @@ class ServingPipeline:
         if denoise and cfg.noise_reduction.auto_detect_noise:
             frame_len, hop = int(sr * 0.025), int(sr * 0.010)
             nvf = max(0, (n_valid - frame_len) // hop + 1)
-            e, z = frame_energy_zcr(dev_audio, sr)
+            e, z = frame_energy_zcr(dev_f32, sr)
             segs = noise_segments_from_features(np.asarray(e)[:nvf], np.asarray(z)[:nvf], sr)
             if segs:
                 longest = max(segs, key=lambda s: s[1] - s[0])
@@ -318,7 +329,11 @@ class ServingPipeline:
         t0 = time.perf_counter()
         try:
             if audio is None:
-                audio, sr = read_wav(input_wav)
+                from .audio_io import read_wav_raw_int16
+
+                audio, sr = read_wav_raw_int16(input_wav)
+                if audio is None:  # non-16-bit / multi-channel layouts
+                    audio, sr = read_wav(input_wav)
             result = self.process(audio, sr)
 
             diar = [

@@ -157,3 +157,23 @@ class TestPrefetcher:
         assert results[0][3] is None and len(results[0][1]) == SR
         assert results[1][3] is not None  # error surfaced, iteration continued
         assert results[2][3] is None
+
+
+class TestInt16Ingest:
+    def test_int16_and_f32_agree(self, pipeline):
+        audio_f32 = make_audio(40.0)
+        audio_i16 = np.clip(audio_f32 * 32768.0, -32768, 32767).astype(np.int16)
+        r_f = pipeline.process(audio_f32, SR)
+        r_i = pipeline.process(audio_i16, SR)
+        assert r_i["duration"] == r_f["duration"]
+        # quantisation is inaudible: same windows survive, segments align
+        assert abs(r_i["kept_duration"] - r_f["kept_duration"]) < 0.2
+        assert len(r_i["segments"]) == len(r_f["segments"])
+
+    def test_raw_reader_fast_path(self, tmp_path):
+        from modular_audio_pipeline_tpu.audio_io import read_wav_raw_int16, write_wav
+
+        path = str(tmp_path / "x.wav")
+        write_wav(path, make_audio(2.0), SR)
+        raw, sr = read_wav_raw_int16(path)
+        assert raw is not None and raw.dtype == np.int16 and sr == SR
