@@ -62,7 +62,8 @@ def main() -> None:
     log(f"devices: {jax.devices()}")
 
     audio_seconds = AUDIO_MINUTES * 60.0
-    audio = make_audio(audio_seconds)
+    # int16, as real WAV ingest delivers it (half the upload bytes)
+    audio = np.clip(make_audio(audio_seconds) * 32768.0, -32768, 32767).astype(np.int16)
 
     cfg = PipelineConfig(media_dir="/tmp/bench_media")
     cfg.transcription.model = MODEL
