@@ -133,9 +133,16 @@ def _apply_timestamp_rules(
     not_ts_not_eot = (~is_ts) & (ids != eot)
     mask = mask + jnp.where(force_ts[:, None] & not_ts_not_eot[None, :], _NEG_INF, 0.0)
 
-    # 2. timestamps are non-decreasing: suppress ts tokens <= max seen.
-    #    (strictly: < max for paired starts; <= keeps monotonic segments)
-    below = ids[None, :] < jnp.maximum(max_ts_tok, ts_begin)[:, None]
+    # 2. timestamps are non-decreasing (openai ApplyTimestampRules): after
+    #    a completed pair the next start must be strictly greater
+    #    (suppress <= max seen); right after a single timestamp its pair
+    #    end may equal it (suppress < max seen). No-ts-yet case: max_ts=0
+    #    < ts_begin, so the maximum() clamps the cutoff to suppress nothing.
+    pair_open = force_ts  # exactly one trailing unpaired timestamp
+    cutoff = jnp.maximum(
+        max_ts_tok + (~pair_open).astype(jnp.int32), ts_begin
+    )
+    below = ids[None, :] < cutoff[:, None]
     mask = mask + jnp.where(below & is_ts[None, :], _NEG_INF, 0.0)
 
     # 3. first generated token must be a timestamp, capped at

@@ -180,14 +180,14 @@ class WhisperTokenizer:
         return word
 
     def encode(self, text: str) -> List[int]:
-        # GPT-2 regex splitting approximated by whitespace-preserving split:
-        # Whisper prepends a space to words, so the simple split keeps BPE
-        # boundaries compatible for natural-language text.
-        import re
+        # GPT-2's exact split pattern (letters and numbers are separate
+        # classes, fixed contraction list) so prompt/prefix token ids match
+        # openai-whisper byte-for-byte.
+        import regex
 
-        pat = re.compile(
-            r"'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\s\w]+|\s+(?!\S)|\s+",
-            re.UNICODE,
+        pat = regex.compile(
+            r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+            r"|\s+(?!\S)|\s+"
         )
         ids: List[int] = []
         for piece in pat.findall(text):
@@ -271,7 +271,14 @@ class DummyTokenizer(WhisperTokenizer):
 
 def load_tokenizer(weights_dir: Optional[str], n_vocab: int = 51865) -> WhisperTokenizer:
     """Load BPE tables from a converted checkpoint dir, or fall back to
-    the byte-level dummy tokenizer when absent."""
+    the byte-level dummy tokenizer when absent.
+
+    A real checkpoint dir without BPE assets would decode every transcript
+    into garbage (OpenAI .pt checkpoints ship no vocab.json/merges.txt),
+    so that case warns loudly instead of degrading silently.
+    """
+    import logging
+
     if weights_dir:
         d = Path(weights_dir)
         vocab_path = d / "vocab.json"
@@ -285,4 +292,13 @@ def load_tokenizer(weights_dir: Optional[str], n_vocab: int = 51865) -> WhisperT
                 a, _, b = line.partition(" ")
                 merges.append((a, b))
             return WhisperTokenizer(vocab, merges, n_vocab=n_vocab)
+        if d.is_dir():
+            logging.getLogger(__name__).warning(
+                "Checkpoint dir %s has no vocab.json/merges.txt — falling "
+                "back to the byte-identity DummyTokenizer. Real-weight "
+                "transcripts WILL be garbage; export the BPE tables during "
+                "conversion (convert.py writes them when the source "
+                "checkpoint provides a tokenizer).",
+                weights_dir,
+            )
     return DummyTokenizer(n_vocab=n_vocab)

@@ -183,6 +183,16 @@ class ServingPipeline:
         duration = len(audio) / sr
 
         audio = np.asarray(audio)
+        target_sr = cfg.audio.sample_rate
+        if sr != target_sr:
+            # the device programs assume 16 kHz (1 ms = 16-sample blocks,
+            # mel filterbank, 30 s windows) — resample on host first
+            from .audio_io import resample_poly
+
+            if audio.dtype == np.int16:
+                audio = audio.astype(np.float32) * (1.0 / 32768.0)
+            audio = resample_poly(audio, sr, target_sr)
+            sr = target_sr
         if audio.dtype != np.int16:  # int16 stays raw: half the upload bytes
             audio = audio.astype(np.float32, copy=False)
         padded, n_valid = pad_to_bucket(audio, sr)
@@ -213,8 +223,12 @@ class ServingPipeline:
         )
         n_valid_ms = n_valid // _BLOCK
         block_sq = np.asarray(block_sq_d)
-        bands = np.asarray(bands_d)
-        frame_db = np.asarray(frame_db_d)
+        # trim VAD stats to valid frames: the quietest-10% noise floor in
+        # _speech_probs_from_bands must not see the bucket's zero padding
+        # (mirrors ops/vad_ops.frame_speech_flags)
+        n_valid_frames = n_valid // (sr * _VAD_FRAME_MS // 1000)
+        bands = np.asarray(bands_d)[:n_valid_frames]
+        frame_db = np.asarray(frame_db_d)[:n_valid_frames]
 
         # --- host decisions: silence intervals ∩ VAD speech -----------------
         keep_ms, mappings = self._keep_intervals(
@@ -248,9 +262,20 @@ class ServingPipeline:
         kept_duration = kept_ms_total * _BLOCK / sr
 
         # --- transcription ----------------------------------------------------
+        language = self.backend.language
+        if language in (None, "", "auto"):
+            from .models.whisper.decode import detect_language
+
+            first_mel = log_mel(dev_windows[:1], n_mels=self.backend.dims.n_mels)
+            language, _ = detect_language(
+                self.backend.params, self.backend.dims, self.backend.tokenizer,
+                first_mel,
+            )
+            logger.info("Detected language: %s", language)
+
         t = cfg.transcription
         opts = DecodeOptions(
-            language=self.backend.language if self.backend.language not in (None, "", "auto") else "en",
+            language=language,
             task=t.task,
             beam_size=t.beam_size,
             temperature=t.temperature,
@@ -291,7 +316,7 @@ class ServingPipeline:
         return {
             "text": text,
             "segments": segments,
-            "language": self.backend.language,
+            "language": language,
             "duration": duration,
             "kept_duration": kept_duration,
             "timestamp_mappings": mappings,

@@ -73,6 +73,31 @@ class TestServing:
         assert result["text"] == ""
 
 
+class TestServingInputShapes:
+    def test_non_16k_input_resampled(self, pipeline):
+        from modular_audio_pipeline_tpu.audio_io import resample_poly
+
+        audio8 = resample_poly(make_audio(40.0), SR, 8000)
+        result = pipeline.process(audio8, 8000)
+        # 8 kHz input must be resampled, not read at double speed (nor
+        # crash on the 16-sample block reshape like 44.1 kHz would)
+        assert result["duration"] == pytest.approx(40.0, abs=0.1)
+        assert result.get("kept_duration", 0) > 0
+
+    def test_padded_bucket_does_not_collapse_vad_floor(self, pipeline):
+        # 70 s of a steady -37 dBFS tone in a 300 s bucket (>75% zero
+        # padding). Every frame has identical band energies, so with the
+        # floor estimated over valid frames only the band/floor ratio is
+        # ~1 and nothing scores as speech; padding zeros would collapse
+        # the floor to ~0 and score every frame above -60 dBFS as speech.
+        # 250 Hz = exactly 8 cycles per 512-sample VAD frame, so every
+        # frame's band energies are identical (no phase-dependent leakage)
+        t = np.arange(70 * SR) / SR
+        audio = (0.02 * np.sin(2 * np.pi * 250 * t)).astype(np.float32)
+        result = pipeline.process(audio, SR)
+        assert result["segments"] == []
+
+
 class TestBlockSilence:
     def test_matches_sample_level_detector(self, tone_plus_silence):
         from modular_audio_pipeline_tpu.ops.silence import detect_nonsilent_ranges

@@ -140,6 +140,40 @@ class TestDecodeGrammar:
             if toks:
                 assert tok.is_timestamp(toks[0])
 
+    def test_timestamp_monotonicity_matches_openai_rules(self):
+        # openai ApplyTimestampRules: after a completed pair, suppress
+        # <= last timestamp; right after a single timestamp, its pair end
+        # may equal it (suppress < last only).
+        from modular_audio_pipeline_tpu.models.whisper.decode import (
+            _apply_timestamp_rules,
+        )
+
+        ts_begin, eot, v = 10, 9, 20
+        lp = jnp.zeros((1, v), jnp.float32)
+
+        def run(last, penult, max_ts, step=3):
+            return np.asarray(_apply_timestamp_rules(
+                lp,
+                jnp.asarray([last], jnp.int32),
+                jnp.asarray([penult], jnp.int32),
+                jnp.asarray([max_ts], jnp.int32),
+                jnp.asarray(step, jnp.int32),
+                ts_begin, eot, ts_begin + 50,
+            ))[0]
+
+        suppressed = -1e8  # _NEG_INF is a large negative, not literal -inf
+
+        # text state, pair completed at ts=12: equality now suppressed
+        out = run(last=5, penult=12, max_ts=12)
+        assert out[12] < suppressed and out[11] < suppressed
+        assert out[13] > suppressed
+        # single trailing timestamp 12: pair end may equal the start
+        out = run(last=12, penult=5, max_ts=12)
+        assert out[12] > suppressed and out[11] < suppressed
+        # no timestamp seen yet: nothing suppressed by monotonicity
+        out = run(last=5, penult=4, max_ts=0)
+        assert (out[ts_begin:] > suppressed).all()
+
     def test_no_speech_prob_in_range(self, params, mel_input):
         tok = DummyTokenizer()
         res = decode_windows(
@@ -195,6 +229,39 @@ class TestTokenizer:
         assert seq == [tok.sot, tok.language_token("pt"), tok.special.transcribe]
         seq2 = tok.sot_sequence("en", "translate", timestamps=False)
         assert seq2[-1] == tok.no_timestamps
+
+    def test_gpt2_split_separates_letters_and_digits(self):
+        # GPT-2's pattern keeps \p{L}+ and \p{N}+ as separate pieces, so a
+        # merge spanning a letter-digit boundary must never fire (the old
+        # ' ?\w+' approximation let it).
+        from modular_audio_pipeline_tpu.models.whisper.tokenizer import (
+            _bytes_to_unicode,
+        )
+
+        b2u = _bytes_to_unicode()
+        vocab = {ch: i for i, ch in enumerate(
+            sorted(set(b2u[b] for b in range(256)))
+        )}
+        vocab["b1"] = len(vocab)
+        tok = WhisperTokenizer(vocab, merges=[("b", "1")], n_vocab=51865)
+        ids = tok.encode("ab12")
+        assert vocab["b1"] not in ids
+        assert ids == [vocab["a"], vocab["b"], vocab["1"], vocab["2"]]
+        assert tok.decode(ids) == "ab12"
+
+    def test_real_checkpoint_dir_without_bpe_warns(self, tmp_path, caplog):
+        import logging
+
+        from modular_audio_pipeline_tpu.models.whisper.tokenizer import (
+            DummyTokenizer as DT,
+            load_tokenizer,
+        )
+
+        (tmp_path / "params.npz").write_bytes(b"")
+        with caplog.at_level(logging.WARNING):
+            tok = load_tokenizer(str(tmp_path))
+        assert isinstance(tok, DT)
+        assert any("DummyTokenizer" in r.message for r in caplog.records)
 
     def test_bpe_tokenizer_roundtrip(self):
         # Minimal BPE vocab exercising merges
