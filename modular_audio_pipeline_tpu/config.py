@@ -119,9 +119,19 @@ class TranscriptionConfig:
     max_decode_tokens: int = 224  # static decode-loop bound per 30 s window
     word_timestamps: bool = True  # cross-attention DTW word alignment
     # "batched": windows decode independently in parallel (throughput);
-    # "sequential": each window is conditioned on the previous window's
-    # text (whisper's condition_on_previous_text accuracy behaviour).
+    # "sequential": seek-based decoding — each window is conditioned on the
+    # previous text and advances by the last emitted timestamp (whisper's
+    # long-form transcribe loop; accuracy behaviour of the reference's
+    # backends).
     chunking: str = "batched"
+    # Whisper quality gates (faster-whisper exposes the same options):
+    # a window is dropped as non-speech when no_speech_prob exceeds
+    # no_speech_threshold AND avg_logprob is below logprob_threshold;
+    # windows failing logprob/compression gates retry up the temperature
+    # ladder.
+    no_speech_threshold: float = 0.6
+    logprob_threshold: float = -1.0
+    compression_ratio_threshold: float = 2.4
 
 
 @dataclass

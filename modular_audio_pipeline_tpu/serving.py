@@ -161,6 +161,9 @@ class ServingPipeline:
                 weights_path=t.weights_path,
                 batch_size=t.batch_size,
                 max_decode_tokens=t.max_decode_tokens,
+                no_speech_threshold=t.no_speech_threshold,
+                logprob_threshold=t.logprob_threshold,
+                compression_ratio_threshold=t.compression_ratio_threshold,
             )
         self.diarize_enabled = diarize and self.config.diarization.enabled
 
@@ -297,6 +300,11 @@ class ServingPipeline:
         for start, b, p in pending:
             result = finalize_decode(p)
             for i in range(min(b, n_win - start)):
+                if self.backend._should_skip_window(
+                    float(result.no_speech_probs[i]),
+                    float(result.avg_logprobs[i]),
+                ):
+                    continue  # whisper's no-speech gate
                 offset = (start + i) * 30.0
                 win_dur = min(30.0, kept_duration - offset)
                 segs = self.backend._parse_window(

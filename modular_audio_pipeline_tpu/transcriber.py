@@ -84,12 +84,18 @@ class JaxWhisperBackend:
         word_timestamps: bool = False,  # cross-attention DTW word alignment
         mesh=None,  # jax.sharding.Mesh: shard window batches on its 'data' axis
         temperature_fallback: bool = True,  # whisper's quality-retry ladder
-        chunking: str = "batched",  # "batched" | "sequential" (conditioned)
+        chunking: str = "batched",  # "batched" | "sequential" (seek loop)
+        no_speech_threshold: Optional[float] = 0.6,
+        logprob_threshold: Optional[float] = -1.0,
+        compression_ratio_threshold: Optional[float] = 2.4,
     ):
         self.word_timestamps = word_timestamps
         self.temperature_fallback = temperature_fallback
         self.fallback_temperatures = (0.2, 0.4, 0.6, 0.8, 1.0)
         self.chunking = chunking
+        self.no_speech_threshold = no_speech_threshold
+        self.logprob_threshold = logprob_threshold
+        self.compression_ratio_threshold = compression_ratio_threshold
         if model_name not in WHISPER_DIMS:
             raise ModelLoadError(f"Unknown Whisper model: {model_name}")
         self.mesh = mesh
@@ -219,13 +225,30 @@ class JaxWhisperBackend:
     def _needs_fallback(self, result, tokens_row, text: str) -> bool:
         """Whisper's quality gates: failed windows retry at higher
         temperature (openai-whisper decode heuristics; the reference
-        inherits them via its backends)."""
+        inherits them via its backends and faster-whisper exposes the
+        thresholds as options — so do we)."""
         if result is None:
             return True
+        cr = self.compression_ratio_threshold
+        lp = self.logprob_threshold
         return (
-            self._compression_ratio(text) > 2.4  # stuck in a repetition loop
-            or float(result) < -1.0  # avg logprob too low
+            (cr is not None and self._compression_ratio(text) > cr)
+            or (lp is not None and float(result) < lp)
         )
+
+    def _should_skip_window(self, no_speech_prob: float, avg_logprob: float) -> bool:
+        """Whisper's no-speech gate: drop the window as silence when
+        no_speech_prob is high, unless the decode is confident anyway
+        (avg_logprob above logprob_threshold)."""
+        if self.no_speech_threshold is None:
+            return False
+        should_skip = no_speech_prob > self.no_speech_threshold
+        if (
+            self.logprob_threshold is not None
+            and avg_logprob > self.logprob_threshold
+        ):
+            should_skip = False
+        return should_skip
 
     # -- decoding ------------------------------------------------------------
 
@@ -262,7 +285,7 @@ class JaxWhisperBackend:
         )
 
         if self.chunking == "sequential":
-            return self._transcribe_sequential(windows, duration, opts, language)
+            return self._transcribe_sequential(audio, duration, opts, language)
 
         segments: List[Dict[str, Any]] = []
         texts: List[str] = []
@@ -318,6 +341,7 @@ class JaxWhisperBackend:
             result = finalize_decode(pending)
             tokens_rows = {i: result.tokens[i] for i in range(b)}
             avg_lp = {i: float(result.avg_logprobs[i]) for i in range(b)}
+            no_speech = {i: float(result.no_speech_probs[i]) for i in range(b)}
 
             # Temperature-fallback ladder (whisper decode heuristics):
             # windows with a repetition loop or low avg logprob retry at
@@ -337,6 +361,8 @@ class JaxWhisperBackend:
                         avg_lp[i] = lp
 
             for i in range(b):
+                if self._should_skip_window(no_speech[i], avg_lp[i]):
+                    continue  # whisper drops silent/music windows entirely
                 offset = (start + i) * _WINDOW_S
                 win_dur = min(_WINDOW_S, duration - offset)
                 segs = self._parse_window(
@@ -368,12 +394,17 @@ class JaxWhisperBackend:
         }
 
     def _transcribe_sequential(
-        self, windows: np.ndarray, duration: float, opts, language: str
+        self, audio: np.ndarray, duration: float, opts, language: str
     ) -> Dict[str, Any]:
-        """Window-at-a-time decoding conditioned on the previous window's
-        text (whisper's condition_on_previous_text; the reference gets this
-        behaviour from its backends). Slower than batched mode — use for
-        accuracy-sensitive single files."""
+        """Seek-based long-form decoding (whisper's transcribe loop; the
+        reference inherits it via its backends at transcriber.py:421-439).
+
+        Each 30 s window is conditioned on previously decoded text
+        (condition_on_previous_text) and the seek pointer advances by the
+        last emitted timestamp — segments that straddle a fixed 30 s
+        boundary are re-decoded from their true start instead of being
+        split. Windows failing the no-speech gate are skipped whole.
+        Slower than batched mode — use for accuracy-sensitive files."""
         from dataclasses import replace
 
         import jax.numpy as jnp
@@ -381,38 +412,60 @@ class JaxWhisperBackend:
         from .models.whisper.decode import decode_windows
         from .ops.mel import log_mel
 
+        win = int(_WINDOW_S * _SR)
+        n_samples = len(audio)
         segments: List[Dict[str, Any]] = []
         texts: List[str] = []
         base_prompt = list(self._prompt_tokens())
-        prev_tokens: List[int] = []
+        all_tokens: List[int] = []  # decoded text tokens for conditioning
         cap = self.dims.n_text_ctx // 2 - 1
 
         space = self.tokenizer.encode(" ")
         pad_tok = space[0] if space else 220
 
-        for w in range(windows.shape[0]):
-            prompt = (base_prompt + prev_tokens)[-cap:]
+        seek = 0
+        while seek < n_samples:
+            chunk = audio[seek : seek + win]
+            win_dur = len(chunk) / _SR
+            padded = np.zeros(win, dtype=np.float32)
+            padded[: len(chunk)] = chunk
+
+            prompt = (base_prompt + all_tokens)[-cap:]
             # Fixed prompt length after the first window: one compiled
             # prefill shape instead of one per conditioning length.
             if prompt:
                 prompt = [pad_tok] * (cap - len(prompt)) + prompt
             w_opts = replace(opts, prompt_tokens=tuple(prompt))
-            mel = log_mel(jnp.asarray(windows[w : w + 1]), n_mels=self.dims.n_mels)
+            mel = log_mel(jnp.asarray(padded[None, :]), n_mels=self.dims.n_mels)
             result = decode_windows(
                 self.params, self.dims, self.tokenizer, mel, w_opts
             )
-            offset = w * _WINDOW_S
-            win_dur = min(_WINDOW_S, duration - offset)
-            segs = self._parse_window(
-                result.tokens[0], float(result.avg_logprobs[0]), offset, win_dur
+            avg_lp = float(result.avg_logprobs[0])
+            no_speech = float(result.no_speech_probs[0])
+            tokens_row = result.tokens[0]
+
+            if self.temperature_fallback and w_opts.temperature == 0.0:
+                text = self.tokenizer.decode(
+                    [t for t in tokens_row if t < self.tokenizer.eot]
+                )
+                if self._needs_fallback(avg_lp, tokens_row, text):
+                    retried = self._retry_windows(mel, [0], w_opts)
+                    if 0 in retried:
+                        tokens_row, avg_lp = retried[0]
+
+            if self._should_skip_window(no_speech, avg_lp):
+                seek += len(chunk)  # silent window: emit nothing, move on
+                continue
+
+            segs, advance_s, consumed = self._parse_window_seek(
+                tokens_row, avg_lp, seek / _SR, win_dur
             )
             segments.extend(segs)
             texts.extend(s["text"] for s in segs)
-            # condition the next window on this window's text tokens
-            prev_tokens = [
-                int(t) for t in result.tokens[0]
-                if int(t) < self.tokenizer.eot
-            ]
+            all_tokens.extend(consumed)
+            if advance_s <= 0:  # degenerate grammar output: force progress
+                advance_s = win_dur
+            seek += int(round(advance_s * _SR))
 
         return {
             "text": " ".join(t for t in texts if t),
@@ -420,6 +473,83 @@ class JaxWhisperBackend:
             "language": language,
             "duration": duration,
         }
+
+    def _parse_window_seek(
+        self, tokens, avg_logprob: float, offset: float, win_dur: float
+    ):
+        """openai-whisper's segment slicing for the seek loop.
+
+        Returns ``(segments, advance_seconds, consumed_text_tokens)``:
+        when the window ends mid-segment (last timestamps form a pair),
+        only completed segments are emitted and the seek advances to the
+        last paired timestamp; a single trailing timestamp means the whole
+        window was consumed.
+        """
+        tok = self.tokenizer
+        content: List[int] = []
+        for t in tokens:
+            t = int(t)
+            if t == tok.eot:
+                break
+            content.append(t)
+        if not content:
+            return [], win_dur, []
+
+        is_ts = [tok.is_timestamp(t) for t in content]
+        single_ts_ending = len(content) >= 2 and not is_ts[-2] and is_ts[-1]
+        consecutive = [
+            i + 1 for i in range(len(content) - 1) if is_ts[i] and is_ts[i + 1]
+        ]
+
+        def emit(sub: List[int], out: List[Dict[str, Any]]):
+            start_ts = tok.timestamp_to_seconds(sub[0])
+            end_ts = tok.timestamp_to_seconds(sub[-1])
+            if start_ts >= win_dur:
+                return
+            text = tok.decode([t for t in sub if not tok.is_timestamp(t)]).strip()
+            if not text:
+                return
+            out.append({
+                "start": round(offset + start_ts, 3),
+                "end": round(offset + min(end_ts, win_dur), 3),
+                "text": text,
+                "confidence": avg_logprob,
+            })
+
+        out: List[Dict[str, Any]] = []
+        if consecutive:
+            slices = list(consecutive)
+            if single_ts_ending:
+                slices.append(len(content))
+            last = 0
+            for cur in slices:
+                emit(content[last:cur], out)
+                last = cur
+            if single_ts_ending:
+                advance = win_dur  # whole window consumed
+            else:
+                # seek to the end of the last completed segment
+                advance = tok.timestamp_to_seconds(content[last - 1])
+            consumed = [t for t in content[:last] if not tok.is_timestamp(t)]
+            return out, advance, consumed
+
+        # no completed pair: one segment spanning to the last timestamp
+        dur = win_dur
+        ts_list = [t for t in content if tok.is_timestamp(t)]
+        if ts_list and ts_list[-1] != tok.timestamp_begin:
+            dur = min(win_dur, tok.timestamp_to_seconds(ts_list[-1]))
+        text = tok.decode(
+            [t for t in content if not tok.is_timestamp(t)]
+        ).strip()
+        if text:
+            out.append({
+                "start": round(offset, 3),
+                "end": round(offset + dur, 3),
+                "text": text,
+                "confidence": avg_logprob,
+            })
+        consumed = [t for t in content if not tok.is_timestamp(t)]
+        return out, win_dur, consumed
 
     def _retry_windows(self, mel, failing: List[int], opts) -> Dict[int, tuple]:
         """Re-decode failing windows through the temperature ladder.
@@ -623,7 +753,7 @@ class WhisperTranscriber:
 
     @classmethod
     def from_config(cls, config: PipelineConfig) -> "WhisperTranscriber":
-        return cls(
+        inst = cls(
             model_name=config.transcription.model,
             language=config.transcription.language,
             prompt=config.transcription.prompt or "",
@@ -637,6 +767,12 @@ class WhisperTranscriber:
             word_timestamps=config.transcription.word_timestamps,
             chunking=config.transcription.chunking,
         )
+        inst._backend.no_speech_threshold = config.transcription.no_speech_threshold
+        inst._backend.logprob_threshold = config.transcription.logprob_threshold
+        inst._backend.compression_ratio_threshold = (
+            config.transcription.compression_ratio_threshold
+        )
+        return inst
 
     def is_loaded(self) -> bool:
         return self._backend.params is not None
@@ -740,7 +876,7 @@ class FasterWhisperTranscriber:
         compute_type = config.transcription.compute_type
         if compute_type == "float16":  # CUDA-ism: map to bf16 on TPU
             compute_type = "bfloat16"
-        return cls(
+        inst = cls(
             model_name=config.transcription.model,
             device=config.transcription.device,
             compute_type=compute_type,
@@ -753,6 +889,12 @@ class FasterWhisperTranscriber:
             word_timestamps=config.transcription.word_timestamps,
             chunking=config.transcription.chunking,
         )
+        inst._backend.no_speech_threshold = config.transcription.no_speech_threshold
+        inst._backend.logprob_threshold = config.transcription.logprob_threshold
+        inst._backend.compression_ratio_threshold = (
+            config.transcription.compression_ratio_threshold
+        )
+        return inst
 
     def is_loaded(self) -> bool:
         return self._backend.params is not None

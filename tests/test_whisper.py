@@ -201,6 +201,73 @@ class TestDecodeGrammar:
         ).any()
 
 
+class TestSeekDecoding:
+    """whisper's seek-based long-form loop + no-speech gating."""
+
+    @staticmethod
+    def _backend():
+        from modular_audio_pipeline_tpu.transcriber import JaxWhisperBackend
+
+        b = JaxWhisperBackend("test-tiny", weights_path="random:0", beam_size=1)
+        b.tokenizer = DummyTokenizer()
+        return b
+
+    def test_advance_equals_last_paired_timestamp(self):
+        b = self._backend()
+        tok = b.tokenizer
+        ts = lambda s: tok.timestamp_begin + int(s / 0.02)
+        w = ord("a")
+        # two completed segments, window ends mid-pair: advance = 12.2 s
+        tokens = [ts(0.0), w, ts(5.0), ts(5.0), w, ts(12.2), ts(12.2), tok.eot]
+        segs, advance, consumed = b._parse_window_seek(tokens, -0.1, 30.0, 30.0)
+        assert advance == pytest.approx(12.2)
+        assert [(s["start"], s["end"]) for s in segs] == [(30.0, 35.0), (35.0, 42.2)]
+        assert consumed == [w, w]  # conditioning uses text tokens only
+
+    def test_single_trailing_timestamp_consumes_window(self):
+        b = self._backend()
+        tok = b.tokenizer
+        ts = lambda s: tok.timestamp_begin + int(s / 0.02)
+        w = ord("b")
+        tokens = [ts(0.0), w, ts(5.0), ts(5.0), w, ts(12.2), tok.eot]
+        segs, advance, _ = b._parse_window_seek(tokens, -0.1, 0.0, 30.0)
+        assert advance == pytest.approx(30.0)
+        assert len(segs) == 2
+
+    def test_no_pairs_single_segment_full_advance(self):
+        b = self._backend()
+        tok = b.tokenizer
+        ts = lambda s: tok.timestamp_begin + int(s / 0.02)
+        w = ord("c")
+        tokens = [ts(0.0), w, ts(7.5), tok.eot]
+        segs, advance, _ = b._parse_window_seek(tokens, -0.1, 0.0, 30.0)
+        assert advance == pytest.approx(30.0)
+        assert len(segs) == 1
+        assert segs[0]["end"] == pytest.approx(7.5)
+
+    def test_no_speech_gate(self):
+        b = self._backend()
+        # high no-speech prob + low logprob => skipped
+        assert b._should_skip_window(0.9, -2.0)
+        # confident decode overrides the no-speech prob
+        assert not b._should_skip_window(0.9, -0.3)
+        assert not b._should_skip_window(0.1, -2.0)
+        b.no_speech_threshold = None
+        assert not b._should_skip_window(0.99, -5.0)
+
+    def test_sequential_end_to_end_terminates(self, params):
+        b = self._backend()
+        b.chunking = "sequential"
+        b.load()
+        rng = np.random.default_rng(4)
+        audio = (0.1 * rng.standard_normal(16000 * 70)).astype(np.float32)
+        result = b.transcribe_array(audio, 16000)
+        assert result["duration"] == pytest.approx(70.0, abs=0.1)
+        for seg in result["segments"]:
+            assert 0 <= seg["start"] <= 70.5
+            assert seg["end"] >= seg["start"]
+
+
 class TestTokenizer:
     def test_special_token_layout_multilingual(self):
         tok = DummyTokenizer(n_vocab=51865)
