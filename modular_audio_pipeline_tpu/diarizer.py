@@ -58,6 +58,9 @@ class SpeakerDiarizer(DiarizerProtocol):
         self.embedding_batch_size = embedding_batch_size
         self._embedder = None
         self._use_noop = False
+        # AHC cut distance; None -> clustering default. Overridden by a
+        # trained checkpoint's calibration.json at load time.
+        self.ahc_threshold: Optional[float] = None
         if not lazy_load:
             self.load_model()
 
@@ -78,14 +81,39 @@ class SpeakerDiarizer(DiarizerProtocol):
         if self._embedder is not None or self._use_noop:
             return
         try:
+            # Trained ConvEmbedder: explicit weights_path, else the default
+            # checkpoint dir (written by training.diarization); stats
+            # embedder as the weight-free fallback.
+            emb_dir = None
             if self.weights_path and Path(self.weights_path).exists():
+                emb_dir = Path(self.weights_path)
+            else:
+                default_dir = Path(
+                    os.environ.get(
+                        "MAP_TPU_WEIGHTS",
+                        os.path.join(os.path.expanduser("~"), ".cache", "map_tpu"),
+                    )
+                ) / "diarization-embedding"
+                if (default_dir / "params.npz").exists():
+                    emb_dir = default_dir
+
+            if emb_dir is not None:
                 from .models.diarization.embedding import ConvEmbedder
                 from .models.whisper.convert import unflatten_tree
 
-                with np.load(Path(self.weights_path) / "params.npz") as z:
+                with np.load(emb_dir / "params.npz") as z:
                     flat = {k: z[k] for k in z.files}
                 self._embedder = ConvEmbedder(params=unflatten_tree(flat))
-                logger.info("Loaded ConvEmbedder weights from %s", self.weights_path)
+                logger.info("Loaded ConvEmbedder weights from %s", emb_dir)
+                calib = emb_dir / "calibration.json"
+                if self.ahc_threshold is None and calib.exists():
+                    import json
+
+                    with open(calib) as f:
+                        self.ahc_threshold = json.load(f).get("ahc_threshold")
+                    logger.info(
+                        "Using calibrated AHC threshold %.2f", self.ahc_threshold
+                    )
             else:
                 from .models.diarization.embedding import StatsEmbedder
 
@@ -253,8 +281,12 @@ class SpeakerDiarizer(DiarizerProtocol):
 
             from .models.diarization.clustering import cluster_embeddings
 
+            kw = {}
+            if self.ahc_threshold is not None:
+                kw["threshold"] = self.ahc_threshold
             labels = cluster_embeddings(
-                embeddings, min_speakers=min_speakers, max_speakers=max_speakers
+                embeddings, min_speakers=min_speakers, max_speakers=max_speakers,
+                **kw,
             )
 
             # Merge adjacent same-label subsegments into speaker turns.

@@ -190,3 +190,83 @@ def speech_timestamps_from_probs(
         b = min(total, int(s["end"]) + pad)
         out.append({"start": a / sr, "end": b / sr})
     return out
+
+
+class SileroVAD:
+    """The public Silero VAD v5 graph in JAX (converted-weights path).
+
+    Mirrors the TorchScript model the reference pulls via torch.hub
+    (``/root/reference/audio_pipeline/vad.py:384-389``): per 512-sample
+    chunk (+64 samples of left context), STFT as a basis conv (n_fft 256,
+    hop 128) -> magnitude -> 4 Conv1d+ReLU encoder blocks -> time-mean ->
+    LSTMCell(128) carried across chunks -> ReLU -> 1x1 conv -> sigmoid.
+    Weights come from :mod:`..models.silero_convert`; layer shapes are
+    validated there against the published state_dict layout. The chunk
+    scan runs as one jitted ``lax.scan`` over the whole file (the
+    TorchScript original loops in Python per chunk).
+    """
+
+    CHUNK = 512
+    CONTEXT = 64
+    HID = 128
+
+    def __init__(self, params: Dict[str, Any]):
+        self.params = params
+        self._run = jax.jit(self._run_impl)
+
+    def _run_impl(self, params, chunks: jnp.ndarray) -> jnp.ndarray:
+        """chunks [N, 576] (context-prepended) -> probs [N]."""
+        basis = params["stft"]["basis"]  # [258, 1, 256]
+
+        def per_chunk_features(x):  # [N, 576] -> [N, 129, T]
+            spec = jax.lax.conv_general_dilated(
+                x[:, None, :], basis, (128,), "VALID",
+                dimension_numbers=("NCT", "OIT", "NCT"),
+            )  # [N, 258, T]
+            n_bins = basis.shape[0] // 2
+            real, imag = spec[:, :n_bins], spec[:, n_bins:]
+            return jnp.sqrt(real * real + imag * imag + 1e-12)
+
+        x = per_chunk_features(chunks)
+        for i in range(4):
+            p = params[f"enc{i}"]
+            x = jax.lax.conv_general_dilated(
+                x, p["w"], (1,), "SAME",
+                dimension_numbers=("NCT", "OIT", "NCT"),
+            ) + p["b"][None, :, None]
+            x = jax.nn.relu(x)
+        feat = x.mean(axis=-1)  # [N, 128]
+
+        rnn = params["rnn"]
+
+        def cell(carry, xt):
+            h, c = carry
+            gates = (
+                xt @ rnn["w_ih"].T + rnn["b_ih"] + h @ rnn["w_hh"].T + rnn["b_hh"]
+            )
+            i_g, f_g, g_g, o_g = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f_g) * c + jax.nn.sigmoid(i_g) * jnp.tanh(g_g)
+            h = jax.nn.sigmoid(o_g) * jnp.tanh(c)
+            return (h, c), h
+
+        h0 = jnp.zeros((self.HID,), feat.dtype)
+        (_, _), hs = jax.lax.scan(cell, (h0, h0), feat)
+        hs = jax.nn.relu(hs)  # [N, 128]
+        head = params["head"]
+        logits = hs @ head["w"][0, :, 0][:, None] + head["b"]  # [N, 1]
+        return jax.nn.sigmoid(logits[:, 0])
+
+    def speech_probs(self, audio: np.ndarray, sr: int) -> np.ndarray:
+        if sr != 16000:
+            from ..audio_io import resample_poly
+
+            audio = resample_poly(audio, sr, 16000)
+        n = (len(audio) // self.CHUNK) * self.CHUNK
+        if n == 0:
+            return np.zeros(0, dtype=np.float32)
+        frames = audio[:n].reshape(-1, self.CHUNK)
+        # left context: last 64 samples of the previous chunk (zeros first)
+        ctx = np.zeros((frames.shape[0], self.CONTEXT), dtype=np.float32)
+        ctx[1:] = frames[:-1, -self.CONTEXT:]
+        chunks = np.concatenate([ctx, frames], axis=1)  # [N, 576]
+        return np.asarray(self._run(self.params, jnp.asarray(chunks)))

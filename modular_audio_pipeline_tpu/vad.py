@@ -202,19 +202,39 @@ class SileroVADFilter(VADProtocol):
     def _load_model(self) -> None:
         if self.model is not None or self._use_energy is not None:
             return
-        from .models.vad_net import ConvVAD
+        import os as _os
 
+        weights_dir = None
         if self.weights_path and Path(self.weights_path).exists():
+            weights_dir = Path(self.weights_path)
+        else:
+            default_dir = Path(
+                _os.environ.get(
+                    "MAP_TPU_WEIGHTS",
+                    _os.path.join(_os.path.expanduser("~"), ".cache", "map_tpu"),
+                )
+            ) / "vad-silero"
+            if (default_dir / "params.npz").exists():
+                weights_dir = default_dir
+
+        if weights_dir is not None:
             try:
                 import numpy as _np
 
+                from .models.silero_convert import is_silero_tree
+                from .models.vad_net import ConvVAD, SileroVAD
                 from .models.whisper.convert import unflatten_tree
 
-                with _np.load(Path(self.weights_path) / "params.npz") as z:
+                with _np.load(weights_dir / "params.npz") as z:
                     flat = {k: z[k] for k in z.files}
-                self.model = ConvVAD(params=unflatten_tree(flat))
+                tree = unflatten_tree(flat)
+                if is_silero_tree(tree):
+                    self.model = SileroVAD(params=tree)
+                    logger.info("Loaded converted Silero VAD from %s", weights_dir)
+                else:
+                    self.model = ConvVAD(params=tree)
+                    logger.info("Loaded ConvVAD weights from %s", weights_dir)
                 self._use_energy = False
-                logger.info("Loaded ConvVAD weights from %s", self.weights_path)
                 return
             except Exception as exc:
                 raise VADError(f"Failed to load Silero-class VAD: {exc}")
