@@ -131,6 +131,10 @@ Examples:
                                  "stats-only downloads; skips crossfades)")
     proc_group.add_argument("--devices", type=int,
                             help="Shard batch work over this many devices")
+    proc_group.add_argument("--tp", type=int,
+                            help="Tensor-parallel ways (Megatron-style "
+                                 "'model' mesh axis; combines with --devices "
+                                 "for the data axis)")
 
     output_group = parser.add_argument_group("Output Options")
     output_group.add_argument("--output-dir", "-o", type=str,
@@ -198,6 +202,9 @@ def build_config(args: argparse.Namespace) -> PipelineConfig:
         config.diarization.max_speakers = args.max_speakers
     if args.devices:
         config.tpu.mesh_shape = {"data": args.devices}
+    if args.tp and args.tp > 1:
+        data = max(1, (args.devices or args.tp) // args.tp)
+        config.tpu.mesh_shape = {"data": data, "model": args.tp}
     if args.profile_dir:
         config.tpu.profile_dir = args.profile_dir
 

@@ -112,6 +112,48 @@ class TestTrainStep:
         assert float(loss) == pytest.approx(np.log(10), rel=1e-5)
 
 
+class TestTPInference:
+    """TP on the decode path (GSPMD regression guard for the KV-cache
+    gather / one-hot beam reorder under a sharded 'model' axis)."""
+
+    def test_sharded_beam_decode_matches_unsharded(self):
+        from modular_audio_pipeline_tpu.models.whisper.decode import (
+            DecodeOptions,
+            decode_windows,
+        )
+        from modular_audio_pipeline_tpu.models.whisper.tokenizer import (
+            DummyTokenizer,
+        )
+        from modular_audio_pipeline_tpu.ops.mel import log_mel
+
+        tok = DummyTokenizer()
+        params = init_params(DIMS, seed=0, dtype=jnp.float32)
+        rng = np.random.default_rng(7)
+        audio = (0.1 * rng.standard_normal((4, 16000 * 30))).astype(np.float32)
+        mel_host = np.asarray(log_mel(jnp.asarray(audio), n_mels=DIMS.n_mels))
+        opts = DecodeOptions(language="en", beam_size=3, max_tokens=12)
+
+        ref = decode_windows(params, DIMS, tok, jnp.asarray(mel_host), opts)
+
+        mesh = build_mesh(TPUConfig(mesh_shape={"data": 4, "model": 2}))
+        with mesh:
+            placed = shard_params(params, mesh)
+            mel_sharded = jax.device_put(
+                mel_host, NamedSharding(mesh, P("data", None, None))
+            )
+            got = decode_windows(placed, DIMS, tok, mel_sharded, opts)
+
+        # logits-path equivalence: scores agree to float tolerance and the
+        # chosen token sequences are identical
+        np.testing.assert_allclose(
+            got.sum_logprobs, ref.sum_logprobs, rtol=2e-3, atol=2e-3
+        )
+        np.testing.assert_array_equal(got.tokens, ref.tokens)
+        np.testing.assert_allclose(
+            got.no_speech_probs, ref.no_speech_probs, rtol=2e-3, atol=2e-3
+        )
+
+
 class TestGraftEntry:
     def test_dryrun_multichip_8(self, capsys):
         import __graft_entry__ as g
