@@ -6,13 +6,21 @@ Whisper + diarization. The timed region covers the complete compute path
 of AudioPipeline.run (SURVEY.md §3.1 steps 3-6):
 
   DSP preprocess (denoise -> peak -> LUFS -> silence) -> energy VAD ->
-  mel -> encoder -> beam-5 KV-cached decode (fixed 112-token budget per
-  30 s window ~= dense-speech decode length, no data-dependent early
-  exit) -> diarization embeddings + clustering.
+  mel -> encoder -> beam-5 KV-cached decode at whisper's full 224-token
+  budget per 30 s window -> no-speech gate -> cross-attention DTW word
+  timestamps -> diarization embeddings + clustering.
 
-Weights are random (zero-egress environment — shapes and compute are
-identical to converted checkpoints); one warmup pass excludes XLA
-compiles. Prints exactly one JSON line:
+Production-shape notes: random weights (zero-egress environment — shapes
+and compute are identical to converted checkpoints) never emit EOT, so
+every window decodes the full 224-token budget; real checkpoints stop at
+EOT far earlier, making this number conservative. The temperature
+fallback ladder is structurally enabled but (with random weights) every
+window would fail whisper's quality gates and re-decode 5x, which no
+real checkpoint does — backend.load() therefore disables it for random
+weights; its steady-state cost on real weights is bounded by the failing
+fraction (typically a few %).
+
+One warmup pass excludes XLA compiles. Prints exactly one JSON line:
   {"metric": ..., "value": RTF, "unit": ..., "vs_baseline": RTF/50}
 (baseline = the 50x-realtime-per-chip target; the reference publishes no
 numbers of its own — BASELINE.md).
@@ -28,7 +36,7 @@ import numpy as np
 
 AUDIO_MINUTES = 8.0
 SR = 16000
-DECODE_TOKENS = 112
+DECODE_TOKENS = 224  # whisper's real per-window budget (sample_len)
 BEAM = 5
 MODEL = "large-v3-turbo"
 RUNS = 5
@@ -72,6 +80,7 @@ def main() -> None:
     cfg.transcription.language = "en"
     cfg.transcription.batch_size = 16
     cfg.transcription.max_decode_tokens = DECODE_TOKENS
+    cfg.transcription.word_timestamps = True  # production default (DTW)
 
     log(f"loading {MODEL} (random weights)...")
     serving = ServingPipeline(cfg)
@@ -99,7 +108,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"full_pipeline_rtf_{MODEL}_beam{BEAM}_plus_diarization",
+                "metric": (
+                    f"full_pipeline_rtf_{MODEL}_beam{BEAM}_"
+                    f"{DECODE_TOKENS}tok_dtw_plus_diarization"
+                ),
                 "value": round(rtf, 2),
                 "unit": "audio_hours_per_hour_per_chip",
                 "vs_baseline": round(rtf / BASELINE_RTF, 3),

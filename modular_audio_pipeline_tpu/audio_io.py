@@ -15,9 +15,12 @@ sample rate.
 from __future__ import annotations
 
 import struct
+import threading
 import wave
+from concurrent.futures import Future, ThreadPoolExecutor
+from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -30,6 +33,13 @@ __all__ = [
     "to_int16",
     "resample_poly",
     "wav_info",
+    "AudioBuffer",
+    "publish_buffer",
+    "get_buffer",
+    "clear_buffers",
+    "flush_writes",
+    "begin_async_run",
+    "end_async_run",
 ]
 
 _RIFF = b"RIFF"
@@ -87,6 +97,8 @@ def read_wav(path: str, mono: bool = True) -> Tuple[np.ndarray, int]:
     when ``mono`` (matching the reference's ffmpeg ``-ac 1`` / pydub
     ``set_channels(1)`` behaviour).
     """
+    if _PENDING:  # an async stage-checkpoint write may still be in flight
+        flush_writes(path)
     try:
         data = Path(path).read_bytes()
     except OSError as exc:
@@ -161,6 +173,8 @@ def read_wav_raw_int16(path: str) -> Tuple[Optional[np.ndarray], int]:
     slow host->device link; the device converts to f32 in-graph). Returns
     (None, sr) for any other layout; callers fall back to :func:`read_wav`.
     """
+    if _PENDING:  # an async stage-checkpoint write may still be in flight
+        flush_writes(path)
     try:
         data = Path(path).read_bytes()
     except OSError as exc:
@@ -235,3 +249,133 @@ def resample_poly(
 
     g = gcd(orig_sr, target_sr)
     return _rp(samples, target_sr // g, orig_sr // g).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# In-memory stage hand-off: device/host buffers keyed by WAV path
+# --------------------------------------------------------------------------
+#
+# The reference chains stages through WAV files on disk
+# (SURVEY.md §1 L2: "file-chained dataflow"). We keep the same path-in/
+# path-out protocol surface, but first-party components also *publish* the
+# audio they would have written — as a device array (padded to its shape
+# bucket) or a host array — into this registry. The next first-party stage
+# looks the path up and skips the disk read AND the host<->device
+# round-trip; the WAV checkpoint is still written, on a background thread,
+# so resume/inspection semantics are unchanged. Components that are not
+# buffer-aware (reference-style DI injections) read the file as always —
+# the pipeline flushes pending writes before handing a path to one.
+
+
+@dataclass
+class AudioBuffer:
+    """Audio published by one pipeline stage for the next.
+
+    Exactly one of ``device``/``host`` is set at construction; accessors
+    materialise (and cache) the other on demand. ``device`` is PADDED to
+    its shape bucket; ``n_valid`` is the real sample count.
+    """
+
+    sr: int
+    n_valid: int
+    device: Any = None  # jax.Array, padded to a bucket
+    host: Optional[np.ndarray] = None  # f32 [n_valid]
+
+    def as_host(self) -> np.ndarray:
+        if self.host is None:
+            self.host = np.asarray(self.device, dtype=np.float32)[: self.n_valid]
+        return self.host
+
+    def as_device_padded(self):
+        """Padded device array (uploads + pads the host copy on demand)."""
+        if self.device is None:
+            import jax.numpy as jnp
+
+            from .ops.bucketing import pad_to_bucket
+
+            padded, _ = pad_to_bucket(self.host, self.sr)
+            self.device = jnp.asarray(padded)
+        return self.device
+
+
+_BUFFERS: Dict[str, AudioBuffer] = {}
+_PENDING: Dict[str, Future] = {}
+_LOCK = threading.Lock()
+_WRITER: Optional[ThreadPoolExecutor] = None
+_ASYNC_RUNS = 0  # >0 while an orchestrated pipeline run is active
+
+
+def _writer() -> ThreadPoolExecutor:
+    global _WRITER
+    if _WRITER is None:
+        _WRITER = ThreadPoolExecutor(max_workers=1, thread_name_prefix="wav-writer")
+    return _WRITER
+
+
+def begin_async_run() -> None:
+    """Enter orchestrated-run mode: checkpoint WAVs write on a background
+    thread (the orchestrator flushes before non-buffer-aware consumers).
+    Standalone component calls keep synchronous write-then-return
+    semantics."""
+    global _ASYNC_RUNS
+    with _LOCK:
+        _ASYNC_RUNS += 1
+
+
+def end_async_run() -> None:
+    global _ASYNC_RUNS
+    with _LOCK:
+        _ASYNC_RUNS = max(0, _ASYNC_RUNS - 1)
+    flush_writes()
+
+
+def publish_buffer(
+    path: str, buf: AudioBuffer, write_disk: bool = True
+) -> AudioBuffer:
+    """Register ``buf`` under ``path`` and write the WAV checkpoint —
+    asynchronously inside an orchestrated run (the D2H download, if any,
+    happens on the writer thread, off the critical path), synchronously
+    otherwise."""
+    key = str(Path(path).resolve())
+    with _LOCK:
+        _BUFFERS[key] = buf
+        async_mode = _ASYNC_RUNS > 0
+
+    if write_disk:
+        if async_mode:
+            def task():
+                write_wav(path, buf.as_host(), buf.sr)
+
+            with _LOCK:
+                _PENDING[key] = _writer().submit(task)
+        else:
+            write_wav(path, buf.as_host(), buf.sr)
+    return buf
+
+
+def get_buffer(path: str) -> Optional[AudioBuffer]:
+    with _LOCK:
+        return _BUFFERS.get(str(Path(path).resolve()))
+
+
+def flush_writes(path: Optional[str] = None) -> None:
+    """Block until pending checkpoint writes finish (all, or one path).
+    Call before a non-buffer-aware component reads the file."""
+    with _LOCK:
+        if path is not None:
+            items = [(k, f) for k, f in _PENDING.items()
+                     if k == str(Path(path).resolve())]
+        else:
+            items = list(_PENDING.items())
+    for key, fut in items:
+        fut.result()
+        with _LOCK:
+            _PENDING.pop(key, None)
+
+
+def clear_buffers() -> None:
+    """Drop all published buffers (start of a new file's run) after
+    finishing pending writes."""
+    flush_writes()
+    with _LOCK:
+        _BUFFERS.clear()

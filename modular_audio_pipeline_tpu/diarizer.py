@@ -25,7 +25,7 @@ from typing import Any, List, Optional
 
 import numpy as np
 
-from .audio_io import read_wav
+from .audio_io import get_buffer, read_wav
 from .config import PipelineConfig, RetryConfig
 from .exceptions import DiarizationError
 from .protocols import DiarizationSegment, DiarizerProtocol
@@ -41,6 +41,8 @@ _SUBSEG_HOP_S = 0.75
 
 class SpeakerDiarizer(DiarizerProtocol):
     """Embedding + clustering diarizer with graceful NoOp degradation."""
+
+    supports_buffers = True  # reads audio_io.AudioBuffer hand-offs
 
     def __init__(
         self,
@@ -272,7 +274,8 @@ class SpeakerDiarizer(DiarizerProtocol):
             return NoOpDiarizer().diarize(audio_path, min_speakers, max_speakers)
 
         try:
-            audio, sr = read_wav(audio_path)
+            buf = get_buffer(audio_path)
+            audio, sr = (buf.as_host(), buf.sr) if buf else read_wav(audio_path)
             spans = self._subsegments(audio, sr)
             if not spans:
                 return []

@@ -96,6 +96,46 @@ def _median_filter(x: np.ndarray, width: int = 7) -> np.ndarray:
     return np.median(windows, axis=-1)
 
 
+def _alignment_matrix_jit(dims: WhisperDims):
+    """Device half of the alignment: teacher-forced cross-attention,
+    per-head standardisation over time, width-7 median filter, head
+    average — so only the final [S, T] f32 matrix (a couple of MB)
+    crosses the device link instead of every head's attention (~0.5 GB
+    per 224-token window on large models).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(params, seq, xa_k, xa_v):
+        cache = KVCache.zeros(
+            dims, 1, dtype=params["decoder"]["tok_emb"].dtype, ctx=seq.shape[1]
+        )
+        _, _, cross = decoder_forward(
+            params, dims, seq, xa_k, xa_v, cache, return_cross_probs=True
+        )
+        w = cross[:, 0].astype(jnp.float32)  # [L, H, S, T]
+        l, h, s, t = w.shape
+        w = w.reshape(l * h, s, t)
+        mean = w.mean(-1, keepdims=True)
+        std = w.std(-1, keepdims=True) + 1e-9
+        w = (w - mean) / std
+
+        def medfilt(x):  # [S, T] width-7 median over time, edge-padded
+            padded = jnp.pad(x, ((0, 0), (3, 3)), mode="edge")
+            stack = jnp.stack([padded[:, i : i + t] for i in range(7)])
+            return jnp.median(stack, axis=0)
+
+        # map (not vmap): per-head 7-stack keeps peak memory ~7 x [S, T]
+        w = jax.lax.map(medfilt, w)
+        return w.mean(axis=0)  # [S, T]
+
+    return run
+
+
+_ALIGN_CACHE: Dict = {}
+
+
 def align_words(
     params,
     dims: WhisperDims,
@@ -112,6 +152,10 @@ def align_words(
     specials are skipped for word grouping); ``prefix`` is the prompt/SOT
     sequence they were conditioned on. Returns
     ``[{"word", "start", "end"}]`` in window-relative seconds.
+
+    The sequence is EOT-padded to a 64-multiple bucket so the jitted
+    device pass compiles a handful of shapes; the decoder is causal, so
+    padded rows cannot affect the real rows and are sliced off.
     """
     import jax.numpy as jnp
 
@@ -120,23 +164,17 @@ def align_words(
         return []
 
     full = list(prefix) + [int(t) for t in tokens if int(t) != tokenizer.eot]
-    seq = jnp.asarray(full, dtype=jnp.int32)[None]
-
-    cache = KVCache.zeros(dims, 1, dtype=params["decoder"]["tok_emb"].dtype,
-                          ctx=max(len(full), 8))
-    _, _, cross = decoder_forward(
-        params, dims, seq, xa_k[:, :1], xa_v[:, :1], cache, return_cross_probs=True
+    s_bucket = ((len(full) + 63) // 64) * 64
+    seq = jnp.asarray(
+        [full + [tokenizer.eot] * (s_bucket - len(full))], dtype=jnp.int32
     )
-    # cross: [L, B=1, H, S, T]
-    w = np.asarray(cross[:, 0], dtype=np.float64)  # [L, H, S, T]
-    w = w.reshape(-1, w.shape[-2], w.shape[-1])  # [L*H, S, T]
 
-    # standardise per head over time, median-filter, average heads
-    mean = w.mean(axis=-1, keepdims=True)
-    std = w.std(axis=-1, keepdims=True) + 1e-9
-    w = (w - mean) / std
-    w = _median_filter(w)
-    matrix = w.mean(axis=0)  # [S, T]
+    if dims not in _ALIGN_CACHE:
+        _ALIGN_CACHE[dims] = _alignment_matrix_jit(dims)
+    matrix = np.asarray(
+        _ALIGN_CACHE[dims](params, seq, xa_k[:, :1], xa_v[:, :1]),
+        dtype=np.float64,
+    )[: len(full)]
 
     # rows for the *generated* positions only (skip the prompt/SOT prefix)
     gen_rows = matrix[len(prefix) :, :n_audio_frames]

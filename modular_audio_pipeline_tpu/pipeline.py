@@ -254,9 +254,31 @@ class AudioPipeline:
                 return self._run_impl(input_file)
         return self._run_impl(input_file)
 
+    @staticmethod
+    def _handoff(path: str, component) -> str:
+        """Stage hand-off: first-party components exchange in-memory
+        AudioBuffers keyed by ``path`` (WAV checkpoints are written
+        asynchronously); before a non-buffer-aware component (reference-
+        style DI injection, NoOp) reads ``path``, its pending write must
+        complete."""
+        if not getattr(component, "supports_buffers", False):
+            from .audio_io import flush_writes
+
+            flush_writes(path)
+        return path
+
     def _run_impl(self, input_file: Optional[str] = None) -> PipelineResult:
+        from .audio_io import (
+            begin_async_run,
+            clear_buffers,
+            end_async_run,
+            flush_writes,
+        )
+
         timer = _StageTimer()
         run_start = time.perf_counter()
+        clear_buffers()  # fresh buffer registry per file
+        begin_async_run()
         try:
             # 1. discover
             with timer.measure("discover"):
@@ -289,7 +311,9 @@ class AudioPipeline:
             if self.config.vocal_separation.enabled or self.config.vocal_separation.auto_detect:
                 logger.info("Checking if vocal separation needed...")
                 with timer.measure("separate"):
-                    vocals = self.separator.extract_vocals(denoised)
+                    vocals = self.separator.extract_vocals(
+                        self._handoff(denoised, self.separator)
+                    )
             else:
                 vocals = denoised
 
@@ -315,7 +339,7 @@ class AudioPipeline:
                 logger.info("Applying VAD (%s)...", self.config.vad.provider)
                 with timer.measure("vad"):
                     voiced_wav, vad_mappings = self.vad.filter_voice(
-                        silence_removed, self.results_dir
+                        self._handoff(silence_removed, self.vad), self.results_dir
                     )
                 if self.config.preserve_timestamps:
                     all_mappings.extend(vad_mappings)
@@ -325,7 +349,9 @@ class AudioPipeline:
             # 5. transcribe
             logger.info("Transcribing (%s)...", self.config.transcription.backend)
             with timer.measure("transcribe"):
-                transcription = self.transcriber.transcribe(voiced_wav)
+                transcription = self.transcriber.transcribe(
+                    self._handoff(voiced_wav, self.transcriber)
+                )
             raw_segments = transcription.get("segments", [])
             logger.info("Transcribed %d segments", len(raw_segments))
 
@@ -334,7 +360,7 @@ class AudioPipeline:
                 logger.info("Diarizing speakers...")
                 with timer.measure("diarize"):
                     diarization_segments = self.diarizer.diarize(
-                        voiced_wav,
+                        self._handoff(voiced_wav, self.diarizer),
                         min_speakers=self.config.diarization.min_speakers,
                         max_speakers=self.config.diarization.max_speakers,
                     )
@@ -386,6 +412,7 @@ class AudioPipeline:
                     llm_analysis = {"error": str(exc)}
 
             # 11b. serialize (schema parity: reference 437-456)
+            flush_writes()  # all WAV checkpoints on disk before we report
             wall = time.perf_counter() - run_start
             try:
                 audio_duration = get_audio_duration(wav)
@@ -439,6 +466,8 @@ class AudioPipeline:
         except Exception as exc:
             logger.exception("Unexpected error: %s", exc)
             return self._failure(input_file, f"Unexpected error: {exc}")
+        finally:
+            end_async_run()  # idempotent with the explicit flush above
 
     @staticmethod
     def _failure(input_file: Optional[str], error: str) -> PipelineResult:
@@ -473,7 +502,10 @@ class AudioPipeline:
         """Unload models, clear checkpoints, delete temp files."""
         import shutil
 
+        from .audio_io import clear_buffers
+
         logger.info("Cleaning up...")
+        clear_buffers()
         if hasattr(self.transcriber, "unload_model"):
             self.transcriber.unload_model()
         if hasattr(self.diarizer, "unload_model"):

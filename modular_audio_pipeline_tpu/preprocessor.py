@@ -27,7 +27,14 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from .audio_io import read_wav, resample_poly, write_wav
+from .audio_io import (
+    AudioBuffer,
+    get_buffer,
+    publish_buffer,
+    read_wav,
+    resample_poly,
+    write_wav,
+)
 from .config import NoiseReductionConfig, PipelineConfig
 from .exceptions import AudioProcessingError
 from .protocols import PreprocessorProtocol, TimestampMapping
@@ -35,6 +42,28 @@ from .protocols import PreprocessorProtocol, TimestampMapping
 logger = logging.getLogger(__name__)
 
 __all__ = ["AudioPreprocessor"]
+
+
+def _denoise_program(sr: int, prop_decrease: float):
+    """Jitted device denoise: 2 s in-graph noise slice -> spectral gate."""
+    import functools
+
+    import jax
+
+    @functools.lru_cache(maxsize=8)
+    def build(sr, prop_decrease):
+        from .ops.spectral_gate import spectral_gate_stationary
+
+        @jax.jit
+        def run(x, noise_start):
+            noise_clip = jax.lax.dynamic_slice(x, (noise_start,), (2 * sr,))
+            return spectral_gate_stationary(
+                x, noise_clip, sr, prop_decrease=prop_decrease
+            )
+
+        return run
+
+    return build(sr, prop_decrease)
 
 
 def _fused_dsp_chain(
@@ -83,6 +112,8 @@ def _fused_dsp_chain(
 class AudioPreprocessor(PreprocessorProtocol):
     """Denoise / normalize / silence-strip with timestamp preservation."""
 
+    supports_buffers = True  # consumes/publishes audio_io.AudioBuffer
+
     def __init__(
         self,
         sample_rate: int,
@@ -116,6 +147,18 @@ class AudioPreprocessor(PreprocessorProtocol):
 
     def _out_path(self, input_wav: str, suffix: str) -> str:
         return os.path.join(self.temp_dir, f"{Path(input_wav).stem}_{suffix}.wav")
+
+    def _input_buffer(self, input_wav: str) -> "AudioBuffer":
+        """Stage input: the previous stage's published buffer when there
+        is one (device-resident hand-off), else a disk read."""
+        buf = get_buffer(input_wav)
+        if buf is not None:
+            return buf
+        audio, sr = read_wav(input_wav)
+        if sr != self.sample_rate:
+            audio = resample_poly(audio, sr, self.sample_rate)
+            sr = self.sample_rate
+        return AudioBuffer(sr=sr, n_valid=len(audio), host=audio)
 
     # -- noise reduction -----------------------------------------------------
 
@@ -173,23 +216,74 @@ class AudioPreprocessor(PreprocessorProtocol):
             logger.info("Noise reduction disabled, skipping")
             return input_wav
         try:
-            audio, sr = read_wav(input_wav)
-            noise_clip = None
-            if noise_sample_path:
-                noise_clip, _ = read_wav(noise_sample_path)
-                logger.info("Using provided noise sample: %s", noise_sample_path)
-            elif self.noise_config.noise_sample_path:
-                noise_clip, _ = read_wav(self.noise_config.noise_sample_path)
-            reduced = self.reduce_stationary_noise_array(audio, sr, noise_clip)
+            explicit_clip = noise_sample_path or self.noise_config.noise_sample_path
+            buf = self._input_buffer(input_wav)
+
+            if explicit_clip or buf.n_valid < 2 * buf.sr:
+                # explicit noise profile (exact tiling) or too-short audio:
+                # host path
+                noise_clip = None
+                if explicit_clip:
+                    noise_clip, _ = read_wav(explicit_clip)
+                    logger.info("Using provided noise sample: %s", explicit_clip)
+                reduced = self.reduce_stationary_noise_array(
+                    buf.as_host(), buf.sr, noise_clip
+                )
+                out_path = self._out_path(input_wav, "denoised")
+                publish_buffer(
+                    out_path,
+                    AudioBuffer(sr=buf.sr, n_valid=len(reduced), host=reduced),
+                )
+                logger.info("Noise reduced: %s", out_path)
+                return out_path
+
+            # device-resident path: profile position from device features,
+            # 2 s profile sliced in-graph (stationary stats make the fixed
+            # slice equivalent to tiling the exact detected region)
+            dev = buf.as_device_padded()
+            sr, n_valid = buf.sr, buf.n_valid
+            noise_start = 0
+            if self.noise_config.auto_detect_noise:
+                from .ops.noise_detect import (
+                    frame_energy_zcr,
+                    noise_segments_from_features,
+                )
+
+                frame_len, hop = int(sr * 0.025), int(sr * 0.010)
+                nvf = max(0, (n_valid - frame_len) // hop + 1)
+                e, z = frame_energy_zcr(dev, sr)
+                segs = noise_segments_from_features(
+                    np.asarray(e)[:nvf], np.asarray(z)[:nvf], sr
+                )
+                if segs:
+                    longest = max(segs, key=lambda s: s[1] - s[0])
+                    noise_start = min(longest[0], max(0, n_valid - 2 * sr))
+                    logger.info(
+                        "Auto-detected noise segment: %.2fs - %.2fs",
+                        longest[0] / sr, longest[1] / sr,
+                    )
+                else:
+                    logger.warning(
+                        "No noise segments detected, using first %.1fs as "
+                        "noise profile",
+                        self.noise_config.noise_sample_duration_s,
+                    )
+
+            import jax.numpy as jnp
+
+            out_dev = _denoise_program(sr, self.noise_config.prop_decrease)(
+                dev, jnp.asarray(noise_start, jnp.int32)
+            )
+            out_path = self._out_path(input_wav, "denoised")
+            publish_buffer(
+                out_path, AudioBuffer(sr=sr, n_valid=n_valid, device=out_dev)
+            )
+            logger.info("Noise reduced: %s", out_path)
+            return out_path
         except AudioProcessingError:
             raise
         except Exception as exc:
             raise AudioProcessingError("Noise reduction failed", details=str(exc))
-
-        out_path = self._out_path(input_wav, "denoised")
-        write_wav(out_path, reduced, sr)
-        logger.info("Noise reduced: %s", out_path)
-        return out_path
 
     # -- peak normalization ----------------------------------------------------
 
@@ -209,10 +303,17 @@ class AudioPreprocessor(PreprocessorProtocol):
 
     def normalize_audio(self, input_wav: str) -> str:
         try:
-            audio, sr = read_wav(input_wav)  # also folds to mono
-            out, sr = self.normalize_audio_array(audio, sr)
+            from .ops.dynamics import peak_normalize
+
+            buf = self._input_buffer(input_wav)
+            # zero padding cannot change the peak, so the padded device
+            # array normalizes exactly
+            out_dev = peak_normalize(buf.as_device_padded())
             out_path = self._out_path(input_wav, "norm")
-            write_wav(out_path, out, sr)
+            publish_buffer(
+                out_path,
+                AudioBuffer(sr=buf.sr, n_valid=buf.n_valid, device=out_dev),
+            )
             logger.info("Audio normalized: %s", out_path)
             return out_path
         except Exception as exc:
@@ -243,12 +344,21 @@ class AudioPreprocessor(PreprocessorProtocol):
 
     def normalize_loudness(self, input_wav: str, target_lufs: float = -16.0) -> str:
         try:
-            audio, sr = read_wav(input_wav)
-            out, changed = self.normalize_loudness_array(audio, sr, target_lufs)
-            if not changed:
+            from .ops.loudness import measure_and_normalize
+
+            buf = self._input_buffer(input_wav)
+            out_dev, lufs = measure_and_normalize(
+                buf.as_device_padded(), buf.sr, target_lufs
+            )
+            lufs = float(lufs)  # scalar download: the skip decision
+            if not np.isfinite(lufs) or lufs < -70:
+                logger.warning("Audio is too quiet for LUFS normalization, skipping")
                 return input_wav
             out_path = self._out_path(input_wav, "loudnorm")
-            write_wav(out_path, out, self.sample_rate if sr == self.sample_rate else sr)
+            publish_buffer(
+                out_path,
+                AudioBuffer(sr=buf.sr, n_valid=buf.n_valid, device=out_dev),
+            )
             logger.info("Loudness normalized to %s LUFS: %s", target_lufs, out_path)
             return out_path
         except Exception as exc:
@@ -267,7 +377,11 @@ class AudioPreprocessor(PreprocessorProtocol):
         from .ops.silence import remove_silence as _remove
 
         try:
-            audio, sr = read_wav(input_wav)
+            # ONE download here buys exact pydub-parity cutting (sample-level
+            # grouping, 20 ms crossfades) on host; everything upstream
+            # stayed on device
+            buf = self._input_buffer(input_wav)
+            audio, sr = buf.as_host(), buf.sr
             out, mappings, changed = _remove(
                 audio, sr,
                 min_silence_len=min_silence_len,
@@ -280,7 +394,9 @@ class AudioPreprocessor(PreprocessorProtocol):
                 return input_wav, []
 
             out_path = self._out_path(input_wav, "nosilence")
-            write_wav(out_path, out, sr)
+            publish_buffer(
+                out_path, AudioBuffer(sr=sr, n_valid=len(out), host=out)
+            )
 
             original_duration = len(audio) / sr
             processed_duration = len(out) / sr

@@ -17,7 +17,15 @@ from typing import Optional
 
 import numpy as np
 
-from .audio_io import read_wav, write_wav
+from .audio_io import get_buffer, read_wav, write_wav
+
+
+def _read_stage_input(input_wav):
+    """Previous stage's published buffer when present, else the file."""
+    buf = get_buffer(input_wav)
+    if buf is not None:
+        return buf.as_host(), buf.sr
+    return read_wav(input_wav)
 from .config import PipelineConfig
 from .exceptions import VocalSeparationError
 from .protocols import VocalSeparatorProtocol
@@ -30,6 +38,8 @@ __all__ = ["VocalSeparator", "NoOpVocalSeparator"]
 
 class VocalSeparator(VocalSeparatorProtocol):
     """REPET-based vocal isolation with chunking + checkpoint/resume."""
+
+    supports_buffers = True  # reads audio_io.AudioBuffer hand-offs
 
     def __init__(
         self,
@@ -69,7 +79,7 @@ class VocalSeparator(VocalSeparatorProtocol):
         from .ops.music import analyze_audio_content
 
         try:
-            audio, sr = read_wav(input_wav)
+            audio, sr = _read_stage_input(input_wav)
             result = analyze_audio_content(audio, sr)
             logger.info("Audio analysis: %s", result)
             return result
@@ -135,7 +145,7 @@ class VocalSeparator(VocalSeparatorProtocol):
                 logger.info("Using cached vocals from checkpoint: %s", ckpt.output_file)
                 return ckpt.output_file
 
-        audio, sr = read_wav(input_wav)
+        audio, sr = _read_stage_input(input_wav)
         chunk_samples = int(self.chunk_minutes * 60 * sr)
         n_chunks = max(1, int(np.ceil(len(audio) / chunk_samples)))
 

@@ -166,6 +166,9 @@ class ServingPipeline:
                 compression_ratio_threshold=t.compression_ratio_threshold,
             )
         self.diarize_enabled = diarize and self.config.diarization.enabled
+        # DTW word alignment (reference default: word_timestamps=True on
+        # both backends, transcriber.py:237,426)
+        self.word_timestamps = self.config.transcription.word_timestamps
 
     # -- stages -------------------------------------------------------------
 
@@ -291,13 +294,20 @@ class ServingPipeline:
         for start in range(0, n_win, bs):
             end = min(start + bs, pad_win)
             mel = log_mel(dev_windows[start:end], n_mels=self.backend.dims.n_mels)
+            audio_kv = None
+            if self.word_timestamps:
+                from .models.whisper.decode import encode_audio_kv
+
+                audio_kv = encode_audio_kv(
+                    self.backend.params, self.backend.dims, mel
+                )
             pending.append((start, end - start, decode_windows_async(
                 self.backend.params, self.backend.dims, self.backend.tokenizer,
-                mel, opts,
-            )))
+                mel, opts, audio_kv=audio_kv,
+            ), audio_kv))
 
         segments: List[Dict[str, Any]] = []
-        for start, b, p in pending:
+        for start, b, p, audio_kv in pending:
             result = finalize_decode(p)
             for i in range(min(b, n_win - start)):
                 if self.backend._should_skip_window(
@@ -310,6 +320,10 @@ class ServingPipeline:
                 segs = self.backend._parse_window(
                     result.tokens[i], float(result.avg_logprobs[i]), offset, win_dur
                 )
+                if self.word_timestamps and segs:
+                    self.backend._attach_words(
+                        segs, result.tokens[i], audio_kv, i, opts, offset
+                    )
                 segments.extend(segs)
 
         # --- diarization (MFCC over windows, host stats + clustering) --------

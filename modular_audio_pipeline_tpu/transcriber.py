@@ -30,7 +30,7 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
-from .audio_io import read_wav, resample_poly
+from .audio_io import get_buffer, read_wav, resample_poly
 from .config import PipelineConfig, RetryConfig
 from .exceptions import ModelLoadError, TranscriptionError
 from .models.whisper.config import MODEL_INFO, WHISPER_DIMS, WhisperDims
@@ -46,6 +46,14 @@ __all__ = ["WhisperTranscriber", "FasterWhisperTranscriber", "JaxWhisperBackend"
 _WINDOW_S = 30.0
 _SR = 16000
 _BATCH_BUCKETS = (1, 2, 4, 8, 16)
+
+
+def _read_stage_input(input_wav: str):
+    """Previous stage's published buffer when present, else the file."""
+    buf = get_buffer(input_wav)
+    if buf is not None:
+        return buf.as_host(), buf.sr
+    return read_wav(input_wav)
 
 
 def _mesh_from_config(config: PipelineConfig):
@@ -700,6 +708,7 @@ class WhisperTranscriber:
     retry on transient runtime errors.
     """
 
+    supports_buffers = True  # reads audio_io.AudioBuffer hand-offs
     MODEL_INFO = MODEL_INFO
 
     def __init__(
@@ -792,7 +801,7 @@ class WhisperTranscriber:
     def transcribe(self, input_wav: str) -> Dict[str, Any]:
         logger.info("Transcribing: %s", input_wav)
         try:
-            audio, sr = read_wav(input_wav)
+            audio, sr = _read_stage_input(input_wav)
             result = self._backend.transcribe_array(audio, sr)
         except (RuntimeError,):
             raise
@@ -816,7 +825,7 @@ class WhisperTranscriber:
                 saved[name] = getattr(backend, name)
                 setattr(backend, name, val)
         try:
-            audio, sr = read_wav(input_wav)
+            audio, sr = _read_stage_input(input_wav)
             return backend.transcribe_array(audio, sr)
         except Exception as exc:
             raise TranscriptionError("Transcription failed", details=str(exc))
@@ -833,6 +842,8 @@ class FasterWhisperTranscriber:
     running our energy VAD over the audio before windowing, so silent
     stretches never reach the decoder.
     """
+
+    supports_buffers = True  # reads audio_io.AudioBuffer hand-offs
 
     def __init__(
         self,
@@ -949,7 +960,7 @@ class FasterWhisperTranscriber:
     def _transcribe_impl(self, input_wav: str) -> Dict[str, Any]:
         logger.info("Transcribing (Optimized): %s", input_wav)
         self.load_model()
-        audio, sr = read_wav(input_wav)
+        audio, sr = _read_stage_input(input_wav)
         if self.vad_filter and len(audio) > sr:
             audio = self._gate_silence(audio, sr)
         result = self._backend.transcribe_array(audio, sr)

@@ -25,7 +25,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .audio_io import read_wav, write_wav
+from .audio_io import AudioBuffer, get_buffer, publish_buffer, read_wav, write_wav
 from .config import PipelineConfig
 from .exceptions import VADError
 from .protocols import TimestampMapping, VADProtocol
@@ -36,9 +36,18 @@ logger = logging.getLogger(__name__)
 __all__ = ["VADFilter", "SileroVADFilter", "NoOpVADFilter"]
 
 
+def _read_stage_input(input_wav: str) -> Tuple[np.ndarray, int]:
+    """Previous stage's published buffer when present, else the file."""
+    buf = get_buffer(input_wav)
+    if buf is not None:
+        return buf.as_host(), buf.sr
+    return read_wav(input_wav)
+
+
 class VADFilter(VADProtocol):
     """WebRTC-equivalent VAD with ring-buffer hangover smoothing."""
 
+    supports_buffers = True
     SUPPORTED_SAMPLE_RATES = [8000, 16000, 32000, 48000]
     SUPPORTED_FRAME_DURATIONS = [10, 20, 30]
 
@@ -115,7 +124,7 @@ class VADFilter(VADProtocol):
         output_dir: str,
         preserve_timestamps: bool = True,
     ) -> Tuple[str, List[TimestampMapping]]:
-        audio, sr = read_wav(input_wav)
+        audio, sr = _read_stage_input(input_wav)
         if sr != self.sample_rate:
             raise VADError(f"Expected {self.sample_rate} Hz audio, got {sr}")
 
@@ -150,7 +159,7 @@ class VADFilter(VADProtocol):
 
         voiced = np.concatenate(pieces)
         out_path = os.path.join(output_dir, f"{Path(input_wav).stem}_voice.wav")
-        write_wav(out_path, voiced, sr)
+        publish_buffer(out_path, AudioBuffer(sr=sr, n_valid=len(voiced), host=voiced))
 
         original = n_frames * frame_s
         removed = original - processed
@@ -184,6 +193,8 @@ class NoOpVADFilter(VADProtocol):
 
 class SileroVADFilter(VADProtocol):
     """DNN-class VAD with Silero-compatible hysteresis semantics."""
+
+    supports_buffers = True
 
     def __init__(
         self,
@@ -267,7 +278,7 @@ class SileroVADFilter(VADProtocol):
     def filter_voice(
         self, input_wav: str, output_dir: str
     ) -> Tuple[str, List[TimestampMapping]]:
-        audio, sr = read_wav(input_wav)
+        audio, sr = _read_stage_input(input_wav)
         timestamps = self._timestamps(audio, sr)
         if not timestamps:
             logger.warning("No voiced segments detected, returning original audio")
@@ -293,7 +304,7 @@ class SileroVADFilter(VADProtocol):
 
         voiced = np.concatenate(pieces)
         out_path = os.path.join(output_dir, f"{Path(input_wav).stem}_voice.wav")
-        write_wav(out_path, voiced, sr)
+        publish_buffer(out_path, AudioBuffer(sr=sr, n_valid=len(voiced), host=voiced))
 
         original = len(audio) / sr
         logger.info(
