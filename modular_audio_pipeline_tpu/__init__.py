@@ -72,6 +72,7 @@ from .protocols import (
 from .redundancy import NoOpRedundancyRemover, RedundancyRemover
 from .segment_merger import SegmentMerger
 from .separator import NoOpVocalSeparator, VocalSeparator
+from .streaming import StreamingSession
 from .transcriber import FasterWhisperTranscriber, WhisperTranscriber
 from .utils import (
     CheckpointManager,
@@ -143,6 +144,7 @@ __all__ = [
     "NoOpVADFilter",
     "WhisperTranscriber",
     "FasterWhisperTranscriber",
+    "StreamingSession",
     "SpeakerDiarizer",
     "NoOpDiarizer",
     "RedundancyRemover",

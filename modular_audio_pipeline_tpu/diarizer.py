@@ -86,18 +86,11 @@ class SpeakerDiarizer(DiarizerProtocol):
             # Trained ConvEmbedder: explicit weights_path, else the default
             # checkpoint dir (written by training.diarization); stats
             # embedder as the weight-free fallback.
-            emb_dir = None
-            if self.weights_path and Path(self.weights_path).exists():
-                emb_dir = Path(self.weights_path)
-            else:
-                default_dir = Path(
-                    os.environ.get(
-                        "MAP_TPU_WEIGHTS",
-                        os.path.join(os.path.expanduser("~"), ".cache", "map_tpu"),
-                    )
-                ) / "diarization-embedding"
-                if (default_dir / "params.npz").exists():
-                    emb_dir = default_dir
+            from .utils import find_weights_bundle
+
+            emb_dir = find_weights_bundle(
+                "diarization-embedding", explicit=self.weights_path
+            )
 
             if emb_dir is not None:
                 from .models.diarization.embedding import ConvEmbedder
@@ -125,13 +118,8 @@ class SpeakerDiarizer(DiarizerProtocol):
             # Optional powerset segmentation model (fine boundaries +
             # overlapped speech); energy VAD regions otherwise.
             self._segmentation = None
-            seg_dir = Path(
-                os.environ.get(
-                    "MAP_TPU_WEIGHTS",
-                    os.path.join(os.path.expanduser("~"), ".cache", "map_tpu"),
-                )
-            ) / "diarization-segmentation"
-            if (seg_dir / "params.npz").exists():
+            seg_dir = find_weights_bundle("diarization-segmentation")
+            if seg_dir is not None:
                 from .models.diarization.segmentation import SegmentationNet
                 from .models.whisper.convert import load_params
 

@@ -21,7 +21,7 @@ import numpy as np
 
 from ...ops.stft import istft, stft
 
-__all__ = ["MaskUNet", "masking_loss"]
+__all__ = ["MaskUNet", "masking_loss", "dual_stem_loss"]
 
 _N_FFT = 2048
 _HOP = 512
@@ -119,3 +119,18 @@ def masking_loss(params, mix_mag: jnp.ndarray, vocal_mag: jnp.ndarray) -> jnp.nd
     with optax; see training/)."""
     mask = MaskUNet.apply(params, mix_mag)
     return jnp.mean(jnp.abs(mask * mix_mag - vocal_mag))
+
+
+def dual_stem_loss(
+    params,
+    mix_mag: jnp.ndarray,
+    vocal_mag: jnp.ndarray,
+    music_mag: jnp.ndarray,
+) -> jnp.ndarray:
+    """L1 on BOTH stems: ``mask*mix ≈ vocals`` and ``(1-mask)*mix ≈ music``
+    (Demucs-style multi-stem supervision — the accompaniment term pushes
+    the mask to zero where music dominates rather than merely not-one)."""
+    mask = MaskUNet.apply(params, mix_mag)
+    vocal_term = jnp.mean(jnp.abs(mask * mix_mag - vocal_mag))
+    music_term = jnp.mean(jnp.abs((1.0 - mask) * mix_mag - music_mag))
+    return vocal_term + music_term

@@ -292,6 +292,10 @@ def load_tokenizer(weights_dir: Optional[str], n_vocab: int = 51865) -> WhisperT
                 a, _, b = line.partition(" ")
                 merges.append((a, b))
             return WhisperTokenizer(vocab, merges, n_vocab=n_vocab)
+        if (d / "byte_tokenizer.json").exists():
+            # Checkpoint trained WITH the byte-identity tokenizer (the
+            # zero-egress synthetic-ASR proxy) — it is the right one.
+            return DummyTokenizer(n_vocab=n_vocab)
         if d.is_dir():
             logging.getLogger(__name__).warning(
                 "Checkpoint dir %s has no vocab.json/merges.txt — falling "

@@ -134,10 +134,36 @@ def flash_attention(q, k, v, interpret: bool = False):
 
     Pads S up to a tile multiple and masks the padded keys; falls back to
     the XLA path off-TPU unless ``interpret`` is set (tests).
+
+    Differentiable: the Pallas kernel has no JVP rule, so the backward
+    pass recomputes attention with the XLA einsum path (the standard
+    flash-attention recompute strategy) via ``jax.custom_vjp`` — training
+    through the encoder works on TPU with the fast forward kernel.
     """
     if not (use_pallas_attention() or interpret):
         return attention_reference(q, k, v)
+    return _flash_attention_diff(q, k, v, interpret)
 
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_attention_diff(q, k, v, interpret):
+    return _flash_forward(q, k, v, interpret)
+
+
+def _flash_attention_fwd(q, k, v, interpret):
+    return _flash_forward(q, k, v, interpret), (q, k, v)
+
+
+def _flash_attention_bwd(interpret, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(attention_reference, q, k, v)
+    return vjp(g)
+
+
+_flash_attention_diff.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def _flash_forward(q, k, v, interpret: bool = False):
     b, h, s, d = q.shape
     s_pad = ((s + _TK - 1) // _TK) * _TK
     # Lane alignment: mosaic tiles the last dim in units of 128; whisper's

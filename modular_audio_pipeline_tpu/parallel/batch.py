@@ -181,11 +181,16 @@ class BatchDriver:
         wall_start = time.perf_counter()
 
         def load(path: str):
-            # decode + resample on the prefetch thread
-            from ..audio_io import read_wav, resample_poly
+            # decode + resample on the prefetch thread; mono 16-bit PCM at
+            # the target rate stays int16 (half the host->device bytes,
+            # converted to f32 in-graph by serving.process)
+            from ..audio_io import read_wav, read_wav_raw_int16, resample_poly
 
-            audio, sr = read_wav(path)
             target = self.config.audio.sample_rate
+            raw, sr = read_wav_raw_int16(path)
+            if raw is not None and sr == target:
+                return raw, sr
+            audio, sr = read_wav(path)
             if sr != target:
                 audio = resample_poly(audio, sr, target)
                 sr = target

@@ -103,14 +103,10 @@ class VocalSeparator(VocalSeparatorProtocol):
         if hasattr(self, "_backend_fn"):
             return self._backend_fn
 
-        import os
+        from .utils import find_weights_bundle
 
-        weights_root = os.environ.get(
-            "MAP_TPU_WEIGHTS",
-            os.path.join(os.path.expanduser("~"), ".cache", "map_tpu"),
-        )
-        unet_dir = Path(weights_root) / f"separation-{self.model}"
-        if (unet_dir / "params.npz").exists():
+        unet_dir = find_weights_bundle(f"separation-{self.model}")
+        if unet_dir is not None:
             from .models.separation.unet import MaskUNet
             from .models.whisper.convert import load_params
 

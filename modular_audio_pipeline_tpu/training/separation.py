@@ -78,44 +78,49 @@ def synth_music(rng: np.random.Generator, seconds: float, sr: int = SR) -> np.nd
 
 def _mixture_batch(
     rng: np.random.Generator, batch: int, seconds: float = _CLIP_S
-) -> Tuple[np.ndarray, np.ndarray]:
-    """(mix [B, N], vocals [B, N]) at speech/music ratios around 0 dB."""
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(mix, vocals, music) ``[B, N]`` at speech/music ratios around 0 dB."""
     n = int(seconds * SR)
     mixes = np.zeros((batch, n), dtype=np.float32)
     vocals = np.zeros((batch, n), dtype=np.float32)
+    musics = np.zeros((batch, n), dtype=np.float32)
     for b in range(batch):
         voice = sample_voice(rng)
         v = synth_utterance(voice, seconds, rng, pause_prob=0.4)[:n]
         m = synth_music(rng, seconds)[:n]
         gain = 10.0 ** (rng.uniform(-6.0, 6.0) / 20.0)  # music SNR ±6 dB
         vocals[b, : len(v)] = v
-        mixes[b] = vocals[b] + gain * m
+        musics[b, : len(m)] = gain * m
+        mixes[b] = vocals[b] + musics[b]
         peak = np.abs(mixes[b]).max()
         if peak > 0.95:
             mixes[b] /= peak / 0.95
             vocals[b] /= peak / 0.95
-    return mixes, vocals
+            musics[b] /= peak / 0.95
+    return mixes, vocals, musics
 
 
 def train_separator(
     out_dir: str,
-    steps: int = 500,
-    batch: int = 4,
+    steps: int = 1500,
+    batch: int = 8,
     lr: float = 1e-3,
     seed: int = 0,
 ) -> Dict[str, float]:
-    """Train MaskUNet with spectrogram-mask L1; save ``params.npz``."""
+    """Train MaskUNet with dual-stem spectrogram L1; save ``params.npz``."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    from ..models.separation.unet import MaskUNet, masking_loss
+    from ..models.separation.unet import MaskUNet, dual_stem_loss
     from ..models.whisper.convert import save_params
     from ..ops.stft import stft
 
     rng = np.random.default_rng(seed)
     params = MaskUNet.init_params(seed)
-    tx = optax.adam(optax.cosine_decay_schedule(lr, steps))
+    tx = optax.adam(
+        optax.warmup_cosine_decay_schedule(0.0, lr, min(100, steps // 10), steps, lr * 0.05)
+    )
     opt_state = tx.init(params)
 
     mags = jax.jit(
@@ -123,18 +128,23 @@ def train_separator(
     )
 
     @jax.jit
-    def step(params, opt_state, mix_mag, vocal_mag):
-        loss, grads = jax.value_and_grad(masking_loss)(params, mix_mag, vocal_mag)
+    def step(params, opt_state, mix_mag, vocal_mag, music_mag):
+        loss, grads = jax.value_and_grad(dual_stem_loss)(
+            params, mix_mag, vocal_mag, music_mag
+        )
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
     t0 = time.time()
     loss = 0.0
     for i in range(steps):
-        mixes, vocals = _mixture_batch(rng, batch)
+        mixes, vocals, musics = _mixture_batch(rng, batch)
         mix_mag = mags(jnp.asarray(mixes))
         vocal_mag = mags(jnp.asarray(vocals))
-        params, opt_state, loss_d = step(params, opt_state, mix_mag, vocal_mag)
+        music_mag = mags(jnp.asarray(musics))
+        params, opt_state, loss_d = step(
+            params, opt_state, mix_mag, vocal_mag, music_mag
+        )
         if i % 50 == 0 or i == steps - 1:
             loss = float(loss_d)
             logger.info(
@@ -177,7 +187,7 @@ def evaluate_separation(
 
     scores = {"mixture": 0.0, "repet": 0.0, "unet": 0.0}
     for _ in range(count):
-        mixes, vocals = _mixture_batch(rng, 1)
+        mixes, vocals, _music = _mixture_batch(rng, 1)
         mix, voc = mixes[0], vocals[0]
         scores["mixture"] += si_snr(mix, voc)
         scores["repet"] += si_snr(repet_separate(mix, SR)[0], voc)

@@ -1,0 +1,258 @@
+"""Zero-egress WER proxy: train Whisper ``test-tiny`` on synthetic
+tone-words, then measure WER end-to-end through the real transcriber.
+
+The reference inherits Whisper's WER from pretrained checkpoints
+(``/root/reference/audio_pipeline/transcriber.py:165,362-366``); this
+environment cannot download them, so the strongest available proof that
+the whole model/decode/eval loop produces *learned* text is a scratch
+model on a task we can label offline: a 24-word "tone language" where
+each word is a deterministic tri-tone audio signature. A model that
+transcribes held-out utterances exercises the exact same code path a
+converted real checkpoint would (mel -> encoder -> beam decode ->
+tokenizer -> WER harness).
+
+Run offline (writes WAVs + manifests, trains, evaluates)::
+
+    python -m modular_audio_pipeline_tpu.training.synth_asr \
+        --out modular_audio_pipeline_tpu/weights --epochs 40
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["VOCAB", "synth_word", "make_dataset", "train_proxy", "evaluate_wer"]
+
+SR = 16000
+
+# NATO-style vocabulary: byte-tokenizable, unambiguous after text normalize.
+VOCAB = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+    "golf", "hotel", "india", "juliett", "kilo", "lima",
+    "mike", "november", "oscar", "papa", "quebec", "romeo",
+    "sierra", "tango", "uniform", "victor", "whiskey", "zulu",
+]
+
+_WORD_S = 0.35  # per-word duration
+_GAP_S = 0.12  # inter-word gap
+
+# Tone grid: each word w maps to a unique ordered tri-tone
+# (f_a, f_b, f_c) drawn from disjoint frequency banks, so signatures are
+# separable on an 80-bin mel spectrogram.
+_BANK_A = np.array([320.0, 440.0, 600.0, 810.0])
+_BANK_B = np.array([1100.0, 1450.0, 1900.0])
+_BANK_C = np.array([2500.0, 3200.0])
+
+
+def _word_freqs(idx: int) -> Tuple[float, float, float]:
+    a = _BANK_A[idx % 4]
+    b = _BANK_B[(idx // 4) % 3]
+    c = _BANK_C[(idx // 12) % 2]
+    return float(a), float(b), float(c)
+
+
+def synth_word(idx: int, rng: np.random.Generator, sr: int = SR) -> np.ndarray:
+    """One word token: three sequential tones with speech-like envelope,
+    small per-utterance jitter (gain, phase, frequency, noise) so the
+    model must generalise rather than memorise waveforms."""
+    n = int(_WORD_S * sr)
+    seg = n // 3
+    t = np.arange(seg) / sr
+    out = np.zeros(n, dtype=np.float32)
+    for k, f in enumerate(_word_freqs(idx)):
+        f = f * rng.uniform(0.985, 1.015)
+        tone = np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+        tone += 0.25 * np.sin(2 * np.pi * 2 * f * t + rng.uniform(0, 2 * np.pi))
+        env = np.minimum(1.0, np.minimum(np.arange(seg), seg - np.arange(seg)) / (0.01 * sr))
+        out[k * seg : (k + 1) * seg] = tone * env
+    out *= rng.uniform(0.25, 0.6)
+    out += rng.uniform(0.002, 0.01) * rng.standard_normal(n).astype(np.float32)
+    return out.astype(np.float32)
+
+
+def synth_sentence(
+    words: List[int], rng: np.random.Generator, sr: int = SR
+) -> np.ndarray:
+    gap = np.zeros(int(_GAP_S * sr), dtype=np.float32)
+    parts: List[np.ndarray] = [np.zeros(int(rng.uniform(0.05, 0.2) * sr), np.float32)]
+    for w in words:
+        parts.append(synth_word(w, rng, sr))
+        parts.append(gap)
+    return np.concatenate(parts)
+
+
+def make_dataset(
+    data_dir: str,
+    n_train: int = 480,
+    n_eval: int = 48,
+    min_words: int = 2,
+    max_words: int = 7,
+    seed: int = 0,
+) -> Tuple[str, str]:
+    """Write train/eval WAVs + JSONL manifests; returns manifest paths.
+
+    Eval sentences come from a disjoint RNG stream (fresh jitter, unseen
+    word orderings)."""
+    from ..audio_io import write_wav
+
+    root = Path(data_dir)
+    (root / "wav").mkdir(parents=True, exist_ok=True)
+    manifests = []
+    for split, count, stream in (("train", n_train, 0), ("eval", n_eval, 500_000)):
+        rng = np.random.default_rng(seed + stream)
+        lines = []
+        for i in range(count):
+            k = int(rng.integers(min_words, max_words + 1))
+            words = rng.integers(0, len(VOCAB), size=k)
+            text = " ".join(VOCAB[w] for w in words)
+            path = root / "wav" / f"{split}_{i:04d}.wav"
+            write_wav(str(path), synth_sentence(list(words), rng), SR)
+            lines.append(json.dumps({"audio": str(path), "text": text}))
+        mpath = root / f"{split}.jsonl"
+        mpath.write_text("\n".join(lines) + "\n")
+        manifests.append(str(mpath))
+    logger.info("Dataset: %d train / %d eval sentences in %s", n_train, n_eval, root)
+    return manifests[0], manifests[1]
+
+
+def train_proxy(
+    manifest: str,
+    out_dir: str,
+    epochs: int = 40,
+    batch_size: int = 8,
+    seq_len: int = 64,
+    lr: float = 3e-4,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Train ``test-tiny`` from scratch on the manifest; save the
+    checkpoint (transcriber-loadable ``params.npz``) to ``out_dir``."""
+    import jax
+    import optax
+
+    from ..models.whisper.config import WHISPER_DIMS
+    from ..models.whisper.convert import save_params
+    from ..transcriber import JaxWhisperBackend
+    from .data import TranscriptDataset
+    from .whisper_train import make_train_step
+
+    backend = JaxWhisperBackend(
+        "test-tiny", weights_path=f"random:{seed}", compute_dtype="float32"
+    )
+    backend.load()
+    dims = WHISPER_DIMS["test-tiny"]
+    dataset = TranscriptDataset.from_manifest(
+        manifest, backend.tokenizer, dims,
+        language="en", batch_size=batch_size, seq_len=seq_len,
+    )
+
+    steps_per_epoch = (len(dataset) + batch_size - 1) // batch_size
+    total_steps = epochs * steps_per_epoch
+    warmup = min(100, total_steps // 10)
+    schedule = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, total_steps)
+    init_state, train_step = make_train_step(
+        dims, optimizer=optax.adamw(schedule, weight_decay=0.01)
+    )
+    state = init_state(backend.params)
+    step = jax.jit(train_step, donate_argnums=(0,))
+
+    t0 = time.time()
+    mean_loss = float("nan")
+    for epoch in range(epochs):
+        losses = []
+        for mel, tokens, targets in dataset.batches(epoch=epoch):
+            state, loss = step(state, mel, tokens, targets)
+            losses.append(float(loss))
+        mean_loss = float(np.mean(losses))
+        if epoch % 5 == 0 or epoch == epochs - 1:
+            logger.info(
+                "epoch %d/%d mean loss %.4f (%.1fs)",
+                epoch, epochs, mean_loss, time.time() - t0,
+            )
+
+    host = jax.tree.map(np.asarray, state.params)
+    save_params(host, out_dir)
+    # Mark the checkpoint as byte-tokenized so load_tokenizer picks the
+    # byte-identity tokenizer deliberately (it's what training used).
+    (Path(out_dir) / "byte_tokenizer.json").write_text(
+        json.dumps({"tokenizer": "byte-identity", "trained_on": "synth_asr"})
+    )
+    logger.info("Saved WER-proxy checkpoint to %s", out_dir)
+    return {"final_loss": mean_loss, "epochs": epochs}
+
+
+def evaluate_wer(
+    weights_dir: str,
+    eval_manifest: str,
+    beam_size: int = 5,
+    limit: Optional[int] = None,
+) -> Dict[str, float]:
+    """Decode held-out WAVs through the production transcriber path
+    (batched windows, beam search, fallback ladder) and aggregate WER."""
+    from ..evaluation.metrics import wer
+    from ..transcriber import WhisperTranscriber
+
+    tr = WhisperTranscriber(
+        model_name="test-tiny", language="en", beam_size=beam_size,
+        weights_path=weights_dir, word_timestamps=False,
+    )
+
+    examples = [
+        json.loads(line)
+        for line in Path(eval_manifest).read_text().splitlines()
+        if line.strip()
+    ]
+    if limit:
+        examples = examples[:limit]
+
+    total_words = 0
+    total_errs = 0.0
+    for ex in examples:
+        out = tr.transcribe(ex["audio"])
+        m = wer(ex["text"], out.get("text", ""))
+        total_words += m["ref_words"]
+        total_errs += m["wer"] * m["ref_words"]
+    score = total_errs / max(total_words, 1)
+    logger.info(
+        "WER %.4f over %d sentences (%d ref words)",
+        score, len(examples), total_words,
+    )
+    return {"wer": round(score, 4), "sentences": len(examples), "ref_words": total_words}
+
+
+def main() -> None:
+    import argparse
+    import os
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default=os.environ.get(
+        "MAP_TPU_WEIGHTS",
+        os.path.join(os.path.expanduser("~"), ".cache", "map_tpu"),
+    ))
+    ap.add_argument("--data-dir", default="/tmp/map_tpu_synth_asr")
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--n-train", type=int, default=480)
+    ap.add_argument("--n-eval", type=int, default=48)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--eval-only", action="store_true")
+    args = ap.parse_args()
+
+    dst = str(Path(args.out) / "whisper-test-tiny")
+    train_m, eval_m = make_dataset(
+        args.data_dir, n_train=args.n_train, n_eval=args.n_eval, seed=args.seed
+    )
+    if not args.eval_only:
+        train_proxy(train_m, dst, epochs=args.epochs, seed=args.seed)
+    print(json.dumps(evaluate_wer(dst, eval_m)))
+
+
+if __name__ == "__main__":
+    main()

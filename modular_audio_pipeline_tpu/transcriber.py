@@ -26,7 +26,7 @@ from __future__ import annotations
 import logging
 import os
 from pathlib import Path
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -67,10 +67,14 @@ def _mesh_from_config(config: PipelineConfig):
 
 
 def default_weights_dir(model_name: str) -> str:
-    root = os.environ.get(
-        "MAP_TPU_WEIGHTS", os.path.join(os.path.expanduser("~"), ".cache", "map_tpu")
-    )
-    return os.path.join(root, f"whisper-{model_name}")
+    """First search root holding a converted ``whisper-<name>`` bundle;
+    falls back to the conversion CLI's default write location."""
+    from .utils import find_weights_bundle, weights_search_roots
+
+    found = find_weights_bundle(f"whisper-{model_name}")
+    if found is not None:
+        return str(found)
+    return str(weights_search_roots()[-1] / f"whisper-{model_name}")
 
 
 class JaxWhisperBackend:
@@ -260,6 +264,17 @@ class JaxWhisperBackend:
 
     # -- decoding ------------------------------------------------------------
 
+    def _decode_options(self, language: str) -> "DecodeOptions":
+        return DecodeOptions(
+            language=language,
+            task=self.task,
+            beam_size=self.beam_size,
+            temperature=self.temperature,
+            max_tokens=self.max_decode_tokens,
+            timestamps=self.timestamps,
+            prompt_tokens=self._prompt_tokens(),
+        )
+
     def transcribe_array(self, audio: np.ndarray, sr: int) -> Dict[str, Any]:
         import jax.numpy as jnp
 
@@ -282,15 +297,7 @@ class JaxWhisperBackend:
             )
             logger.info("Detected language: %s", language)
 
-        opts = DecodeOptions(
-            language=language,
-            task=self.task,
-            beam_size=self.beam_size,
-            temperature=self.temperature,
-            max_tokens=self.max_decode_tokens,
-            timestamps=self.timestamps,
-            prompt_tokens=self._prompt_tokens(),
-        )
+        opts = self._decode_options(language)
 
         if self.chunking == "sequential":
             return self._transcribe_sequential(audio, duration, opts, language)
@@ -413,6 +420,43 @@ class JaxWhisperBackend:
         boundary are re-decoded from their true start instead of being
         split. Windows failing the no-speech gate are skipped whole.
         Slower than batched mode — use for accuracy-sensitive files."""
+        win = int(_WINDOW_S * _SR)
+        n_samples = len(audio)
+        segments: List[Dict[str, Any]] = []
+        texts: List[str] = []
+        all_tokens: List[int] = []  # decoded text tokens for conditioning
+
+        seek = 0
+        while seek < n_samples:
+            chunk = audio[seek : seek + win]
+            segs, advance, all_tokens = self.seek_decode_step(
+                chunk, seek, opts, all_tokens
+            )
+            segments.extend(segs)
+            texts.extend(s["text"] for s in segs)
+            seek += advance
+
+        return {
+            "text": " ".join(t for t in texts if t),
+            "segments": segments,
+            "language": language,
+            "duration": duration,
+        }
+
+    def seek_decode_step(
+        self,
+        chunk: np.ndarray,
+        seek: int,
+        opts,
+        all_tokens: List[int],
+    ) -> Tuple[List[Dict[str, Any]], int, List[int]]:
+        """Decode ONE seek window (<= 30 s of audio at sample offset
+        ``seek``), conditioned on previously consumed text tokens.
+
+        Returns ``(segments, advance_samples, all_tokens)`` — the shared
+        step of the sequential loop and the streaming session
+        (:mod:`.streaming`). ``advance_samples`` is always > 0.
+        """
         from dataclasses import replace
 
         import jax.numpy as jnp
@@ -421,66 +465,47 @@ class JaxWhisperBackend:
         from .ops.mel import log_mel
 
         win = int(_WINDOW_S * _SR)
-        n_samples = len(audio)
-        segments: List[Dict[str, Any]] = []
-        texts: List[str] = []
         base_prompt = list(self._prompt_tokens())
-        all_tokens: List[int] = []  # decoded text tokens for conditioning
         cap = self.dims.n_text_ctx // 2 - 1
-
         space = self.tokenizer.encode(" ")
         pad_tok = space[0] if space else 220
 
-        seek = 0
-        while seek < n_samples:
-            chunk = audio[seek : seek + win]
-            win_dur = len(chunk) / _SR
-            padded = np.zeros(win, dtype=np.float32)
-            padded[: len(chunk)] = chunk
+        win_dur = len(chunk) / _SR
+        padded = np.zeros(win, dtype=np.float32)
+        padded[: len(chunk)] = chunk
 
-            prompt = (base_prompt + all_tokens)[-cap:]
-            # Fixed prompt length after the first window: one compiled
-            # prefill shape instead of one per conditioning length.
-            if prompt:
-                prompt = [pad_tok] * (cap - len(prompt)) + prompt
-            w_opts = replace(opts, prompt_tokens=tuple(prompt))
-            mel = log_mel(jnp.asarray(padded[None, :]), n_mels=self.dims.n_mels)
-            result = decode_windows(
-                self.params, self.dims, self.tokenizer, mel, w_opts
+        prompt = (base_prompt + all_tokens)[-cap:]
+        # Fixed prompt length after the first window: one compiled
+        # prefill shape instead of one per conditioning length.
+        if prompt:
+            prompt = [pad_tok] * (cap - len(prompt)) + prompt
+        w_opts = replace(opts, prompt_tokens=tuple(prompt))
+        mel = log_mel(jnp.asarray(padded[None, :]), n_mels=self.dims.n_mels)
+        result = decode_windows(
+            self.params, self.dims, self.tokenizer, mel, w_opts
+        )
+        avg_lp = float(result.avg_logprobs[0])
+        no_speech = float(result.no_speech_probs[0])
+        tokens_row = result.tokens[0]
+
+        if self.temperature_fallback and w_opts.temperature == 0.0:
+            text = self.tokenizer.decode(
+                [t for t in tokens_row if t < self.tokenizer.eot]
             )
-            avg_lp = float(result.avg_logprobs[0])
-            no_speech = float(result.no_speech_probs[0])
-            tokens_row = result.tokens[0]
+            if self._needs_fallback(avg_lp, tokens_row, text):
+                retried = self._retry_windows(mel, [0], w_opts)
+                if 0 in retried:
+                    tokens_row, avg_lp = retried[0]
 
-            if self.temperature_fallback and w_opts.temperature == 0.0:
-                text = self.tokenizer.decode(
-                    [t for t in tokens_row if t < self.tokenizer.eot]
-                )
-                if self._needs_fallback(avg_lp, tokens_row, text):
-                    retried = self._retry_windows(mel, [0], w_opts)
-                    if 0 in retried:
-                        tokens_row, avg_lp = retried[0]
+        if self._should_skip_window(no_speech, avg_lp):
+            return [], len(chunk), all_tokens  # silent window: move on
 
-            if self._should_skip_window(no_speech, avg_lp):
-                seek += len(chunk)  # silent window: emit nothing, move on
-                continue
-
-            segs, advance_s, consumed = self._parse_window_seek(
-                tokens_row, avg_lp, seek / _SR, win_dur
-            )
-            segments.extend(segs)
-            texts.extend(s["text"] for s in segs)
-            all_tokens.extend(consumed)
-            if advance_s <= 0:  # degenerate grammar output: force progress
-                advance_s = win_dur
-            seek += int(round(advance_s * _SR))
-
-        return {
-            "text": " ".join(t for t in texts if t),
-            "segments": segments,
-            "language": language,
-            "duration": duration,
-        }
+        segs, advance_s, consumed = self._parse_window_seek(
+            tokens_row, avg_lp, seek / _SR, win_dur
+        )
+        if advance_s <= 0:  # degenerate grammar output: force progress
+            advance_s = win_dur
+        return segs, int(round(advance_s * _SR)), all_tokens + consumed
 
     def _parse_window_seek(
         self, tokens, avg_logprob: float, offset: float, win_dur: float

@@ -40,7 +40,47 @@ __all__ = [
     "get_audio_duration",
     "format_timestamp",
     "parse_timestamp",
+    "weights_search_roots",
+    "find_weights_bundle",
 ]
+
+
+def weights_search_roots() -> List[Path]:
+    """Roots searched for converted/trained model bundles, in order.
+
+    ``MAP_TPU_WEIGHTS``, when set, is the ONLY root — tests and batch jobs
+    rely on it for isolation. Otherwise: the repo-shipped package
+    ``weights/`` directory (bundles trained offline and committed), then
+    the user cache (``~/.cache/map_tpu``, where the ``training.*`` and
+    conversion CLIs write by default).
+    """
+    env = os.environ.get("MAP_TPU_WEIGHTS")
+    if env:
+        return [Path(env)]
+    return [
+        Path(__file__).resolve().parent / "weights",
+        Path(os.path.expanduser("~")) / ".cache" / "map_tpu",
+    ]
+
+
+def find_weights_bundle(
+    bundle: str, explicit: Optional[str] = None
+) -> Optional[Path]:
+    """Resolve a named weights bundle dir (one containing ``params.npz``).
+
+    ``explicit`` (a user-supplied ``weights_path``) wins when it exists;
+    otherwise the first search root holding ``<root>/<bundle>/params.npz``
+    is returned, or ``None`` when no checkpoint exists anywhere.
+    """
+    if explicit:
+        p = Path(explicit)
+        if p.exists():
+            return p
+    for root in weights_search_roots():
+        cand = root / bundle
+        if (cand / "params.npz").exists():
+            return cand
+    return None
 
 
 def retry_with_backoff(
@@ -112,37 +152,36 @@ def validate_file(
     otherwise.
     """
     path = Path(file_path)
+    problems: List[str] = []
 
     if must_exist:
         if not path.exists():
-            raise FileValidationError(f"File does not exist: {file_path}")
-        if not path.is_file():
-            raise FileValidationError(f"Path is not a file: {file_path}")
-        if not os.access(file_path, os.R_OK):
-            raise FileValidationError(f"File is not readable: {file_path}")
+            problems.append(f"file does not exist: {file_path}")
+        elif not path.is_file():
+            problems.append(f"path is not a regular file: {file_path}")
+        elif not os.access(file_path, os.R_OK):
+            problems.append(f"file is not readable: {file_path}")
 
     if allowed_extensions:
         ext = path.suffix.lower()
-        allowed = [e.lower() for e in allowed_extensions]
-        if ext not in allowed:
-            raise FileValidationError(
-                f"Invalid file extension: {ext}",
-                details=f"Allowed extensions: {allowed_extensions}",
+        if ext not in {e.lower() for e in allowed_extensions}:
+            problems.append(
+                f"extension {ext!r} not in allowed set {sorted(allowed_extensions)}"
             )
 
-    if must_exist and path.exists():
+    if must_exist and path.is_file():
         size = path.stat().st_size
         if size < min_size_bytes:
-            raise FileValidationError(
-                f"File too small: {size} bytes",
-                details=f"Minimum size: {min_size_bytes} bytes",
-            )
+            problems.append(f"file is {size} B, below the {min_size_bytes} B minimum")
         if max_size_bytes is not None and size > max_size_bytes:
-            raise FileValidationError(
-                f"File too large: {size} bytes",
-                details=f"Maximum size: {max_size_bytes} bytes",
-            )
+            problems.append(f"file is {size} B, above the {max_size_bytes} B maximum")
 
+    if problems:
+        # Unlike fail-fast validators, every violation is reported at once
+        # (mirrors PipelineConfig.validate()'s aggregated-error style).
+        raise FileValidationError(
+            problems[0], details="; ".join(problems[1:]) or None
+        )
     return True
 
 

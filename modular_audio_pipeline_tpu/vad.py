@@ -213,20 +213,9 @@ class SileroVADFilter(VADProtocol):
     def _load_model(self) -> None:
         if self.model is not None or self._use_energy is not None:
             return
-        import os as _os
+        from .utils import find_weights_bundle
 
-        weights_dir = None
-        if self.weights_path and Path(self.weights_path).exists():
-            weights_dir = Path(self.weights_path)
-        else:
-            default_dir = Path(
-                _os.environ.get(
-                    "MAP_TPU_WEIGHTS",
-                    _os.path.join(_os.path.expanduser("~"), ".cache", "map_tpu"),
-                )
-            ) / "vad-silero"
-            if (default_dir / "params.npz").exists():
-                weights_dir = default_dir
+        weights_dir = find_weights_bundle("vad-silero", explicit=self.weights_path)
 
         if weights_dir is not None:
             try:

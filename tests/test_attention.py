@@ -43,3 +43,26 @@ def test_fallback_off_tpu(rng):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(attention_reference(q, q, q)), rtol=1e-5
     )
+
+
+def test_gradients_match_reference(rng):
+    # The Pallas kernel has no JVP rule; custom_vjp recomputes the
+    # backward with the XLA path. Grads through the kernel (interpret
+    # mode) must match grads through attention_reference.
+    import jax
+
+    b, h, s, d = 1, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, interpret=True) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (attention_reference(q, k, v) ** 2).sum()
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-3, atol=1e-3)

@@ -167,6 +167,54 @@ class TestServingBatch:
         summary2 = BatchDriver(cfg).run(serving=True)
         assert summary2["skipped"] == 3
 
+    def test_interrupt_mid_run_then_resume(self, tmp_path, monkeypatch):
+        """Ctrl-C mid-batch: the per-file ledger preserves completed work,
+        and the rerun processes exactly the remainder (BASELINE config 5
+        resume semantics)."""
+        from modular_audio_pipeline_tpu.audio_io import write_wav
+        from modular_audio_pipeline_tpu.parallel.batch import BatchDriver
+        from modular_audio_pipeline_tpu.serving import ServingPipeline
+
+        d = tmp_path / "media"
+        d.mkdir()
+        for i in range(3):
+            write_wav(str(d / f"f{i}.wav"), make_audio(35.0, seed=i), SR)
+
+        cfg = PipelineConfig(media_dir=str(d))
+        cfg.results_dir = str(tmp_path / "results")
+        cfg.transcription.model = "test-tiny"
+        cfg.transcription.weights_path = "random:0"
+        cfg.transcription.beam_size = 1
+        cfg.transcription.max_decode_tokens = 16
+        cfg.transcription.language = "en"
+        cfg.transcription.batch_size = 2
+
+        real_run_file = ServingPipeline.run_file
+        calls = {"n": 0}
+
+        def interrupting(self, *args, **kwargs):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise KeyboardInterrupt  # user hits Ctrl-C on file 2
+            return real_run_file(self, *args, **kwargs)
+
+        monkeypatch.setattr(ServingPipeline, "run_file", interrupting)
+        with pytest.raises(KeyboardInterrupt):
+            BatchDriver(cfg).run(serving=True)
+        monkeypatch.setattr(ServingPipeline, "run_file", real_run_file)
+
+        # exactly one file completed before the interrupt
+        import json as _json
+        ledger = _json.loads(
+            (tmp_path / "results" / "batch_status.json").read_text()
+        )
+        assert sum(1 for v in ledger.values() if v.get("success")) == 1
+
+        summary = BatchDriver(cfg).run(serving=True)
+        assert summary["skipped"] == 1
+        assert summary["succeeded"] == 2
+        assert summary["failed"] == 0
+
 
 class TestPrefetcher:
     def test_order_and_errors(self, tmp_path):
