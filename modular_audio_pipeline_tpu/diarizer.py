@@ -21,7 +21,7 @@ from __future__ import annotations
 import logging
 import os
 from pathlib import Path
-from typing import Any, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -33,7 +33,38 @@ from .utils import get_audio_duration, retry_with_backoff
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["SpeakerDiarizer", "NoOpDiarizer"]
+__all__ = ["SpeakerDiarizer", "NoOpDiarizer", "identify_speakers"]
+
+
+def identify_speakers(
+    voiceprints: Dict[str, np.ndarray],
+    references: Dict[str, np.ndarray],
+    threshold: float = 0.5,
+) -> Dict[str, str]:
+    """Map anonymous ``SPEAKER_NN`` labels to known identities.
+
+    Greedy best-match by cosine similarity between the per-file
+    voiceprints from :meth:`SpeakerDiarizer.diarize_with_embedding` and a
+    dict of enrolled reference embeddings (same embedder). Labels whose
+    best similarity falls below ``threshold`` stay anonymous. Each
+    reference identity is assigned at most once.
+    """
+    out: Dict[str, str] = {}
+    pairs = []
+    for label, v in voiceprints.items():
+        v = v / max(float(np.linalg.norm(v)), 1e-8)
+        for name, r in references.items():
+            r = r / max(float(np.linalg.norm(r)), 1e-8)
+            pairs.append((float(np.dot(v, r)), label, name))
+    taken_labels: set = set()
+    taken_names: set = set()
+    for sim, label, name in sorted(pairs, reverse=True):
+        if sim < threshold or label in taken_labels or name in taken_names:
+            continue
+        out[label] = name
+        taken_labels.add(label)
+        taken_names.add(name)
+    return out
 
 _SUBSEG_S = 1.5
 _SUBSEG_HOP_S = 0.75
@@ -257,16 +288,26 @@ class SpeakerDiarizer(DiarizerProtocol):
         min_speakers: int = 2,
         max_speakers: int = 5,
     ) -> List[DiarizationSegment]:
+        segments, _ = self._diarize_full(audio_path, min_speakers, max_speakers)
+        return segments
+
+    def _diarize_full(
+        self,
+        audio_path: str,
+        min_speakers: int = 2,
+        max_speakers: int = 5,
+    ):
+        """(segments, {speaker_label: mean unit-norm embedding})."""
         self.load_model()
         if self._use_noop:
-            return NoOpDiarizer().diarize(audio_path, min_speakers, max_speakers)
+            return NoOpDiarizer().diarize(audio_path, min_speakers, max_speakers), {}
 
         try:
             buf = get_buffer(audio_path)
             audio, sr = (buf.as_host(), buf.sr) if buf else read_wav(audio_path)
             spans = self._subsegments(audio, sr)
             if not spans:
-                return []
+                return [], {}
 
             embeddings = self._embed_all(audio, sr, spans)
 
@@ -309,11 +350,20 @@ class SpeakerDiarizer(DiarizerProtocol):
                         track=str(len(segments)),
                     )
                 )
+            # per-speaker voiceprints: mean embedding per cluster, unit-norm
+            voiceprints: Dict[str, np.ndarray] = {}
+            emb = np.asarray(embeddings, dtype=np.float32)
+            lab_arr = np.asarray(labels)
+            for lab in np.unique(lab_arr):
+                mean = emb[lab_arr == lab].mean(axis=0)
+                mean /= max(float(np.linalg.norm(mean)), 1e-8)
+                voiceprints[f"SPEAKER_{int(lab):02d}"] = mean
+
             logger.info(
                 "Diarization: %d turns, %d speakers",
                 len(segments), len(set(s.speaker for s in segments)),
             )
-            return segments
+            return segments, voiceprints
         except RuntimeError:
             raise
         except Exception as exc:
@@ -322,11 +372,20 @@ class SpeakerDiarizer(DiarizerProtocol):
             )
 
     def diarize_with_embedding(
-        self, audio_path: str, reference_embeddings: Optional[Any] = None
-    ) -> List[DiarizationSegment]:
-        """Reserved for speaker-identification workflows (reference stub
-        parity: diarizer.py:261-278)."""
-        return self.diarize(audio_path)
+        self,
+        audio_path: str,
+        min_speakers: int = 1,
+        max_speakers: int = 5,
+    ) -> tuple:
+        """Diarize AND return per-speaker voiceprints.
+
+        The reference stubs this out with an empty dict
+        (diarizer.py:261-278: "would require more complex implementation");
+        here it is functional: ``(segments, {speaker: 192-d unit-norm mean
+        embedding})``, usable for speaker identification across files via
+        :func:`identify_speakers`.
+        """
+        return self._diarize_full(audio_path, min_speakers, max_speakers)
 
 
 class NoOpDiarizer(DiarizerProtocol):

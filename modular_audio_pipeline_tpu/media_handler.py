@@ -146,19 +146,39 @@ class MediaHandler(MediaHandlerProtocol):
         base = Path(input_path).stem
         out_path = os.path.join(self.temp_dir, f"{base}_{self.sample_rate}Hz.wav")
 
-        if Path(input_path).suffix.lower() == ".wav":
+        suffix = Path(input_path).suffix.lower()
+        if suffix == ".wav":
             samples, sr = read_wav(input_path)  # folds to mono
             samples = resample_poly(samples, sr, self.sample_rate)
             write_wav(out_path, samples, self.sample_rate)
             logger.info("Converted to: %s (native decode)", out_path)
             return out_path
 
+        if suffix == ".flac":
+            from .runtime.native_lib import native_flac_decode
+
+            try:
+                decoded = native_flac_decode(Path(input_path).read_bytes())
+            except ValueError as exc:
+                raise MediaConversionError(
+                    f"Invalid FLAC file: {input_path}", details=str(exc)
+                )
+            if decoded is not None:
+                samples, sr = decoded
+                samples = samples.mean(axis=1)  # fold to mono
+                samples = resample_poly(samples, sr, self.sample_rate)
+                write_wav(out_path, samples, self.sample_rate)
+                logger.info("Converted to: %s (native FLAC decode)", out_path)
+                return out_path
+            # toolchain missing: fall through to the FFmpeg path
+
         if not self._check_ffmpeg():
             raise MediaConversionError(
                 "Cannot decode non-WAV media",
                 details=(
-                    f"{input_path} needs FFmpeg on PATH (native decoders for "
-                    "compressed containers are WAV-only for now)."
+                    f"{input_path} needs FFmpeg on PATH (first-party native "
+                    "decoders cover WAV and FLAC; other containers are "
+                    "FFmpeg-only)."
                 ),
             )
 

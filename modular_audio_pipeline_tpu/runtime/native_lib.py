@@ -19,9 +19,10 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["load_native", "native_dtw_path", "have_native"]
+__all__ = ["load_native", "native_dtw_path", "have_native", "native_flac_decode"]
 
-_SRC = Path(__file__).parent / "native" / "map_audio.cc"
+_SRC_DIR = Path(__file__).parent / "native"
+_SOURCES = sorted(_SRC_DIR.glob("*.cc"))
 _lib: Optional[ctypes.CDLL] = None
 _load_attempted = False
 
@@ -39,7 +40,7 @@ def _build() -> Optional[Path]:
     out.parent.mkdir(parents=True, exist_ok=True)
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        str(_SRC), "-o", str(out),
+        *[str(s) for s in _SOURCES], "-o", str(out),
     ]
     try:
         result = subprocess.run(cmd, capture_output=True, timeout=120)
@@ -62,7 +63,8 @@ def load_native() -> Optional[ctypes.CDLL]:
     _load_attempted = True
 
     path = _lib_path()
-    if not path.exists() or path.stat().st_mtime < _SRC.stat().st_mtime:
+    newest_src = max(s.stat().st_mtime for s in _SOURCES)
+    if not path.exists() or path.stat().st_mtime < newest_src:
         built = _build()
         if built is None:
             return None
@@ -93,6 +95,19 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
         ]
         lib.crossfade_concat.restype = ctypes.c_int64
+        lib.flac_probe.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.flac_probe.restype = ctypes.c_int64
+        lib.flac_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.flac_decode.restype = ctypes.c_int64
         _lib = lib
         logger.debug("Loaded native runtime from %s", path)
     except OSError as exc:
@@ -173,3 +188,57 @@ def native_crossfade_concat(chunks, crossfades_ms, sr: int) -> Optional[np.ndarr
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out[:written]
+
+
+_FLAC_ERRORS = {
+    -1: "not a FLAC stream",
+    -2: "truncated FLAC stream",
+    -3: "malformed FLAC stream",
+    -4: "decoder capacity exceeded",
+    -5: "FLAC frame CRC mismatch",
+}
+
+
+def native_flac_decode(data: bytes):
+    """Decode a FLAC byte stream with the C++ decoder.
+
+    Returns ``(samples [n, channels] float32 in [-1, 1], sample_rate)``.
+    Returns None when the native library is unavailable; raises
+    ValueError on malformed input.
+    """
+    lib = load_native()
+    if lib is None:
+        return None
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    sr = ctypes.c_int32(0)
+    ch = ctypes.c_int32(0)
+    bps = ctypes.c_int32(0)
+    total = ctypes.c_int64(0)
+    rc = lib.flac_probe(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(buf.size),
+        ctypes.byref(sr), ctypes.byref(ch), ctypes.byref(bps),
+        ctypes.byref(total),
+    )
+    if rc < 0:
+        raise ValueError(_FLAC_ERRORS.get(int(rc), f"FLAC error {rc}"))
+
+    # capacity: STREAMINFO total when known, else a safe upper bound
+    # (compressed FLAC is never smaller than ~1 bit/sample => 8x bytes)
+    per_ch = int(total.value) or (buf.size * 8 // max(int(bps.value), 1) + 65536)
+    capacity = (per_ch + 65536) * int(ch.value)
+    out = np.empty(capacity, dtype=np.int32)
+    written = lib.flac_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(buf.size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(capacity),
+        ctypes.byref(sr), ctypes.byref(ch), ctypes.byref(bps),
+    )
+    if written < 0:
+        raise ValueError(_FLAC_ERRORS.get(int(written), f"FLAC error {written}"))
+
+    samples = out[: int(written)].reshape(-1, int(ch.value))
+    scale = 1.0 / float(1 << (int(bps.value) - 1))
+    return samples.astype(np.float32) * scale, int(sr.value)

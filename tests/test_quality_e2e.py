@@ -140,3 +140,61 @@ class TestEdgeCases:
         audio, sr = read_wav(path)
         expected = vals.astype(np.float64) / (2**23)
         np.testing.assert_allclose(audio, expected, atol=1e-4)
+
+
+class TestSpeakerIdentification:
+    def test_diarize_with_embedding_returns_voiceprints(self, tmp_path):
+        turns = [(0, 4.0), (1, 4.0), (0, 4.0), (1, 4.0)]
+        audio, _ = synth_conversation(turns)
+        path = str(tmp_path / "conv.wav")
+        write_wav(path, audio, SR)
+
+        diar = SpeakerDiarizer()
+        segments, prints = diar.diarize_with_embedding(path, 1, 4)
+        assert segments
+        labels = {s.speaker for s in segments}
+        assert set(prints.keys()) == labels
+        for v in prints.values():
+            assert np.isfinite(v).all()
+            assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-4  # unit norm
+
+    def test_identify_speakers_across_files(self, tmp_path):
+        """Enroll each voice from a solo file; the 2-speaker conversation's
+        anonymous labels must map back to the right identities."""
+        from modular_audio_pipeline_tpu.diarizer import identify_speakers
+
+        diar = SpeakerDiarizer()
+
+        refs = {}
+        for spk, name in [(0, "ana"), (1, "bruno")]:
+            audio, _ = synth_conversation([(spk, 5.0), (spk, 5.0)], seed=spk + 7)
+            p = str(tmp_path / f"enroll_{name}.wav")
+            write_wav(p, audio, SR)
+            _, prints = diar.diarize_with_embedding(p, 1, 2)
+            assert prints
+            # solo recording: take the dominant (first) voiceprint
+            refs[name] = next(iter(prints.values()))
+
+        conv, truth = synth_conversation(
+            [(0, 4.0), (1, 4.0), (0, 4.0), (1, 4.0)], seed=3
+        )
+        p = str(tmp_path / "conv.wav")
+        write_wav(p, conv, SR)
+        segments, prints = diar.diarize_with_embedding(p, 2, 2)
+        mapping = identify_speakers(prints, refs, threshold=0.2)
+        assert set(mapping.values()) == {"ana", "bruno"}
+
+        # the label covering speaker-0's turns must map to ana
+        from collections import defaultdict
+
+        overlap = defaultdict(float)
+        for s in segments:
+            for name, t0, t1 in truth:
+                ov = max(0.0, min(s.end, t1) - max(s.start, t0))
+                overlap[(s.speaker, name)] += ov
+        # dominant alignment label for S0
+        s0_label = max(
+            ((lab, ov) for (lab, name), ov in overlap.items() if name == "S0"),
+            key=lambda x: x[1],
+        )[0]
+        assert mapping.get(s0_label) == "ana"
