@@ -132,6 +132,9 @@ class TranscriptionConfig:
     no_speech_threshold: float = 0.6
     logprob_threshold: float = -1.0
     compression_ratio_threshold: float = 2.4
+    # Beam-search patience (faster-whisper option): search until
+    # round(beam_size * patience) finished hypotheses per window.
+    patience: Optional[float] = None
 
 
 @dataclass

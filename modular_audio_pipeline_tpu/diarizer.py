@@ -184,6 +184,24 @@ class SpeakerDiarizer(DiarizerProtocol):
             return [(0, len(audio))]
         return [(s * spf, min(len(audio), (e + 1) * spf)) for s, e, _ in segs]
 
+    @staticmethod
+    def _smooth_speech_flags(speech: np.ndarray) -> np.ndarray:
+        """pyannote-style duration smoothing on a 10 ms decision grid:
+        fill internal non-speech gaps <= 400 ms, then drop speech islands
+        <= 200 ms (min_duration_off / min_duration_on)."""
+        f = speech.copy()
+        n = len(f)
+        for value, max_run in ((False, 40), (True, 20)):
+            diff = np.flatnonzero(np.diff(f.astype(np.int8)))
+            starts = np.concatenate([[0], diff + 1])
+            ends = np.concatenate([diff, [n - 1]])
+            for s, e in zip(starts, ends):
+                if bool(f[s]) is value and e - s + 1 <= max_run:
+                    if value is False and (s == 0 or e == n - 1):
+                        continue  # keep leading/trailing silence
+                    f[s : e + 1] = not value
+        return f
+
     def _segmentation_regions(self, audio: np.ndarray, sr: int) -> List[tuple]:
         """Speech regions from the powerset segmentation model: sliding
         windows (batched at segmentation_batch_size), overlap-aggregated
@@ -214,6 +232,9 @@ class SpeakerDiarizer(DiarizerProtocol):
 
         global_act = aggregate_windows(window_acts, spans, len(audio), sr)
         speech = global_act.max(axis=-1) > 0.5  # [n_frames] 10 ms grid
+        # Raw frame decisions splinter into unusably short regions;
+        # smooth with pyannote's min-duration semantics.
+        speech = self._smooth_speech_flags(speech)
         hop = sr // 100
         idx = np.flatnonzero(speech)
         if idx.size == 0:

@@ -72,6 +72,10 @@ class DecodeOptions:
     suppress_tokens: Tuple[int, ...] = ()  # extra ids to mask (faster-whisper opt)
     prompt_tokens: Tuple[int, ...] = ()
     length_penalty: Optional[float] = None  # None => simple length norm
+    # Beam-search patience (faster-whisper/openai option): keep expanding
+    # until round(beam_size * patience) finished hypotheses are collected
+    # per window. None => 1.0 (the upstream default).
+    patience: Optional[float] = None
 
 
 class DecodeResult(NamedTuple):
@@ -293,6 +297,18 @@ def _beam_loop(
     blank_mask,
     opts_static: Dict[str, Any],
 ):
+    """Live/finished-pool beam search (t5x-style, TPU-shaped).
+
+    Matches openai-whisper's ``BeamSearchDecoder`` semantics exactly
+    (including ``patience``): each step expands the top 2K candidates,
+    routes EOT candidates into a per-window finished pool (capacity
+    C = round(K * patience), first-come in logprob order, never evicted),
+    and refills the live fold with the top K non-EOT candidates. The
+    search stops when every window has collected C finished hypotheses
+    or the token budget runs out. Finished beams never occupy fold
+    slots, so the fold keeps exploring — the behaviour faster-whisper
+    inherits at /root/reference/audio_pipeline/transcriber.py:316-319.
+    """
     bk, p = initial_tokens.shape
     k_beams = opts_static["beam_size"]
     b = bk // k_beams
@@ -301,6 +317,7 @@ def _beam_loop(
     eot = opts_static["eot"]
     ts_begin = opts_static["ts_begin"]
     timestamps = opts_static["timestamps"]
+    pool = opts_static["pool_size"]  # C = max(k, round(k * patience))
 
     ctx = min(dims.n_text_ctx, ((p + max_new + 63) // 64) * 64)
     cache = KVCache.zeros(dims, bk, dtype=params["decoder"]["tok_emb"].dtype, ctx=ctx)
@@ -319,8 +336,13 @@ def _beam_loop(
         (b, 1),
     ).reshape(bk)
 
+    fin_lp = jnp.full((b, pool), _NEG_INF, jnp.float32)
+    fin_tok = jnp.full((b, pool, max_new), eot, jnp.int32)
+    fin_cnt = jnp.zeros((b,), jnp.int32)
+
     def body(state):
-        (i, cache, out_tokens, last, penult, max_ts, done, beam_lp, prev_logits) = state
+        (i, cache, out_tokens, last, penult, max_ts, beam_lp, prev_logits,
+         fin_lp, fin_tok, fin_cnt) = state
 
         logprobs = jax.nn.log_softmax(prev_logits, axis=-1)  # [BK, V]
         lp = jnp.where(suppress_mask[None, :] > 0, _NEG_INF, logprobs)
@@ -335,20 +357,49 @@ def _beam_loop(
                 opts_static["max_initial_ts_tok"],
             )
 
-        # Finished beams contribute exactly one continuation: EOT at lp 0.
-        eot_onehot = jnp.where(jnp.arange(v)[None, :] == eot, 0.0, _NEG_INF)
-        lp = jnp.where(done[:, None], eot_onehot, lp)
-
         total = beam_lp[:, None] + lp  # [BK, V]
         total = total.reshape(b, k_beams * v)
-        top_lp, top_idx = jax.lax.top_k(total, k_beams)  # [B, K]
-        src_beam = top_idx // v  # [B, K] which beam it came from
-        next_tok = (top_idx % v).astype(jnp.int32)
+        # 2K candidates: at most K can be EOT (one per source beam), so the
+        # top 2K always contain K live continuations plus every EOT
+        # candidate that could rank into the finished pool this step.
+        top_lp, top_idx = jax.lax.top_k(total, 2 * k_beams)  # [B, 2K]
+        src_beam = top_idx // v  # [B, 2K]
+        cand_tok = (top_idx % v).astype(jnp.int32)
+        # Dead-beam padding sits at ~-1e9; exclude it from the pool.
+        valid_eot = (cand_tok == eot) & (top_lp > -1e8)
+
+        # --- finished pool: insert EOT candidates in logprob order while
+        # the pool has room (never evict — first-come, as openai-whisper's
+        # finished_sequences dict with max_candidates).
+        rank = jnp.cumsum(valid_eot.astype(jnp.int32), axis=1) - 1  # [B, 2K]
+        slot = fin_cnt[:, None] + rank
+        insert = valid_eot & (slot < pool)
+        flat_cand = (src_beam + jnp.arange(b)[:, None] * k_beams).reshape(b * 2 * k_beams)
+        cand_seq = out_tokens[flat_cand].reshape(b, 2 * k_beams, max_new)
+        sel = jnp.where(
+            insert[:, :, None],
+            jax.nn.one_hot(slot, pool, dtype=jnp.float32),
+            0.0,
+        )  # [B, 2K, C] — each pool slot receives at most one candidate
+        written = jnp.sum(sel, axis=1) > 0  # [B, C]
+        fin_lp = jnp.where(written, jnp.einsum("bec,be->bc", sel, top_lp), fin_lp)
+        new_rows = jnp.einsum(
+            "bec,ben->bcn", sel, cand_seq.astype(jnp.float32)
+        ).astype(jnp.int32)
+        fin_tok = jnp.where(written[:, :, None], new_rows, fin_tok)
+        fin_cnt = jnp.minimum(
+            fin_cnt + jnp.sum(valid_eot.astype(jnp.int32), axis=1), pool
+        )
+
+        # --- live fold: top K non-EOT candidates.
+        live_cand_lp = jnp.where(cand_tok == eot, _NEG_INF, top_lp)  # [B, 2K]
+        live_lp, live_sel = jax.lax.top_k(live_cand_lp, k_beams)  # [B, K]
+        live_src = jnp.take_along_axis(src_beam, live_sel, axis=1)
+        next_tok = jnp.take_along_axis(cand_tok, live_sel, axis=1)
 
         # Gather/reorder everything by source beam (batch-local indices).
-        flat_src = (src_beam + jnp.arange(b)[:, None] * k_beams).reshape(bk)
+        flat_src = (live_src + jnp.arange(b)[:, None] * k_beams).reshape(bk)
         out_tokens = out_tokens[flat_src]
-        done = done[flat_src]
         max_ts = max_ts[flat_src]
         last = last[flat_src]
         # Cache reorder as a one-hot permutation matmul: a row gather over
@@ -365,39 +416,38 @@ def _beam_loop(
         cache = KVCache(k=new_ck, v=new_cv, pos=cache.pos)
 
         next_tok = next_tok.reshape(bk)
-        beam_lp = top_lp.reshape(bk)
+        beam_lp = live_lp.reshape(bk)
 
         out_tokens = jax.lax.dynamic_update_slice_in_dim(
-            out_tokens, jnp.where(done, eot, next_tok)[:, None], i, axis=1
+            out_tokens, next_tok[:, None], i, axis=1
         )
-        new_done = done | (next_tok == eot)
         new_max_ts = jnp.where(
-            (next_tok >= ts_begin) & ~done, jnp.maximum(max_ts, next_tok), max_ts
+            next_tok >= ts_begin, jnp.maximum(max_ts, next_tok), max_ts
         )
         penult_new = last
-        last_new = jnp.where(done, last, next_tok)
+        last_new = next_tok
 
-        step_tok = jnp.where(done, eot, next_tok)
         logits, cache = decoder_forward(
-            params, dims, step_tok[:, None], xa_k, xa_v, cache
+            params, dims, next_tok[:, None], xa_k, xa_v, cache
         )
         return (
             i + 1, cache, out_tokens, last_new, penult_new, new_max_ts,
-            new_done, beam_lp, logits[:, -1].astype(jnp.float32),
+            beam_lp, logits[:, -1].astype(jnp.float32), fin_lp, fin_tok, fin_cnt,
         )
 
     def cond(state):
-        i, _, _, _, _, _, done, _, _ = state
-        return (i < max_new) & ~jnp.all(done)
+        i = state[0]
+        fin_cnt = state[-1]
+        return (i < max_new) & ~jnp.all(fin_cnt >= pool)
 
     state = (
         jnp.asarray(0, jnp.int32), cache, out_tokens, last, penult,
-        jnp.zeros((bk,), jnp.int32), jnp.zeros((bk,), bool), beam_lp,
-        logits[:, -1].astype(jnp.float32),
+        jnp.zeros((bk,), jnp.int32), beam_lp,
+        logits[:, -1].astype(jnp.float32), fin_lp, fin_tok, fin_cnt,
     )
     state = jax.lax.while_loop(cond, body, state)
-    (_, _, out_tokens, _, _, _, _, beam_lp, _) = state
-    return out_tokens, beam_lp, no_speech_prob
+    (_, _, out_tokens, _, _, _, beam_lp, _, fin_lp, fin_tok, _) = state
+    return out_tokens, beam_lp, no_speech_prob, fin_tok, fin_lp
 
 
 @partial(jax.jit, static_argnames=("dims", "sot_index", "opts_key"))
@@ -497,17 +547,22 @@ def decode_windows_async(
                 "suppress_blank": opts.suppress_blank,
                 "max_initial_ts_tok": max_initial_ts_tok,
                 "beam_size": opts.beam_size,
+                "pool_size": max(
+                    opts.beam_size,
+                    int(round(opts.beam_size * (opts.patience or 1.0))),
+                ),
             }.items()
         )
     )
 
     beam = opts.beam_size > 1 and opts.temperature == 0.0
+    fin_tok = fin_lp = None
     if beam:
         k = opts.beam_size
         init = jnp.tile(jnp.asarray(initial, jnp.int32)[None], (b * k, 1))
         # xa_k/xa_v stay at batch B: the decoder's grouped cross-attention
         # shares audio K/V across beams (model.decoder_forward).
-        tokens, sum_lp, ns_prob = _beam_jit(
+        tokens, sum_lp, ns_prob, fin_tok, fin_lp = _beam_jit(
             params, dims, xa_k, xa_v, init, sot_index,
             suppress_mask, blank_mask, opts_key,
         )
@@ -519,6 +574,7 @@ def decode_windows_async(
             rng if rng is not None else jax.random.PRNGKey(0),
         )
     return {"tokens": tokens, "sum_lp": sum_lp, "ns_prob": ns_prob,
+            "fin_tok": fin_tok, "fin_lp": fin_lp,
             "beam": beam, "b": b, "k": opts.beam_size, "eot": tokenizer.eot,
             "length_penalty": opts.length_penalty}
 
@@ -528,20 +584,39 @@ def finalize_decode(pending) -> DecodeResult:
     b, eot = pending["b"], pending["eot"]
     if pending["beam"]:
         k = pending["k"]
-        tokens = np.asarray(pending["tokens"]).reshape(b, k, -1)
-        sum_lp = np.asarray(pending["sum_lp"]).reshape(b, k)
-        lengths = (tokens != eot).sum(axis=-1)
+        live_tok = np.asarray(pending["tokens"]).reshape(b, k, -1)
+        live_lp = np.asarray(pending["sum_lp"]).reshape(b, k)
+        fin_tok = np.asarray(pending["fin_tok"])  # [B, C, T]
+        fin_lp = np.asarray(pending["fin_lp"])  # [B, C]
         penalty = pending.get("length_penalty")
-        if penalty is not None:
-            # Google NMT penalty: ((5 + len) / 6) ** alpha (faster-whisper's
-            # length_penalty option)
-            norm = sum_lp / ((5.0 + np.maximum(lengths, 1)) / 6.0) ** penalty
-        else:
+
+        def _norm(lp, lens):
+            if penalty is not None:
+                # Google NMT penalty: ((5 + len) / 6) ** alpha
+                # (faster-whisper's length_penalty option)
+                return lp / ((5.0 + np.maximum(lens, 1)) / 6.0) ** penalty
             # whisper default: simple total/length normalisation
-            norm = sum_lp / np.maximum(lengths, 1)
-        best = norm.argmax(axis=1)
-        tokens = tokens[np.arange(b), best]
-        sum_lp = sum_lp[np.arange(b), best]
+            return lp / np.maximum(lens, 1)
+
+        t_len = live_tok.shape[-1]
+        tokens = np.empty((b, t_len), np.int32)
+        sum_lp = np.empty((b,), np.float32)
+        for bi in range(b):
+            # Finished hypotheses first; top up from the live fold (in raw
+            # logprob order, EOT-padded) when fewer than beam_size finished
+            # — openai-whisper BeamSearchDecoder.finalize.
+            valid = fin_lp[bi] > -1e8
+            cand_t, cand_l = [fin_tok[bi][valid]], [fin_lp[bi][valid]]
+            n_fin = int(valid.sum())
+            if n_fin < k:
+                order = np.argsort(-live_lp[bi])[: k - n_fin]
+                cand_t.append(live_tok[bi][order])
+                cand_l.append(live_lp[bi][order])
+            ct = np.concatenate(cand_t)
+            cl = np.concatenate(cand_l)
+            best = int(_norm(cl, (ct != eot).sum(axis=-1)).argmax())
+            tokens[bi] = ct[best]
+            sum_lp[bi] = cl[best]
         ns_prob = np.asarray(pending["ns_prob"])
     else:
         tokens = np.asarray(pending["tokens"])

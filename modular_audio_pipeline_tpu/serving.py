@@ -288,6 +288,7 @@ class ServingPipeline:
             max_tokens=t.max_decode_tokens,
             timestamps=True,
             prompt_tokens=self.backend._prompt_tokens(),
+            patience=t.patience,
         )
         bs = self.backend.batch_size
         pending = []

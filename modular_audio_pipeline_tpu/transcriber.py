@@ -100,7 +100,9 @@ class JaxWhisperBackend:
         no_speech_threshold: Optional[float] = 0.6,
         logprob_threshold: Optional[float] = -1.0,
         compression_ratio_threshold: Optional[float] = 2.4,
+        patience: Optional[float] = None,  # beam finished-pool factor
     ):
+        self.patience = patience
         self.word_timestamps = word_timestamps
         self.temperature_fallback = temperature_fallback
         self.fallback_temperatures = (0.2, 0.4, 0.6, 0.8, 1.0)
@@ -273,6 +275,7 @@ class JaxWhisperBackend:
             max_tokens=self.max_decode_tokens,
             timestamps=self.timestamps,
             prompt_tokens=self._prompt_tokens(),
+            patience=self.patience,
         )
 
     def transcribe_array(self, audio: np.ndarray, sr: int) -> Dict[str, Any]:
@@ -806,6 +809,7 @@ class WhisperTranscriber:
         inst._backend.compression_ratio_threshold = (
             config.transcription.compression_ratio_threshold
         )
+        inst._backend.patience = config.transcription.patience
         return inst
 
     def is_loaded(self) -> bool:
@@ -930,6 +934,7 @@ class FasterWhisperTranscriber:
         inst._backend.compression_ratio_threshold = (
             config.transcription.compression_ratio_threshold
         )
+        inst._backend.patience = config.transcription.patience
         return inst
 
     def is_loaded(self) -> bool:

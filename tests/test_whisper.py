@@ -392,3 +392,72 @@ class TestDecodeOptionsParity:
                           length_penalty=1.0),
         )
         assert r.tokens.shape[0] == 1  # mechanics run with the penalty path
+
+
+class TestBeamPatience:
+    """Live/finished-pool beam semantics (openai BeamSearchDecoder +
+    faster-whisper patience)."""
+
+    def test_pool_capacity_scales_with_patience(self, params):
+        from modular_audio_pipeline_tpu.models.whisper.decode import (
+            decode_windows_async,
+        )
+
+        tok = DummyTokenizer()
+        rng = np.random.default_rng(3)
+        audio = (0.1 * rng.standard_normal((1, 16000 * 30))).astype(np.float32)
+        mel = log_mel(jnp.asarray(audio), n_mels=DIMS.n_mels)
+        pending = decode_windows_async(
+            params, DIMS, tok, mel,
+            DecodeOptions(language="en", beam_size=2, max_tokens=8, patience=2.0),
+        )
+        assert pending["fin_tok"].shape == (1, 4, 8)  # C = round(2 * 2.0)
+        assert pending["fin_lp"].shape == (1, 4)
+        from modular_audio_pipeline_tpu.models.whisper.decode import finalize_decode
+
+        res = finalize_decode(pending)
+        assert res.tokens.shape == (1, 8)
+
+    def test_finalize_prefers_finished_hypotheses(self):
+        from modular_audio_pipeline_tpu.models.whisper.decode import finalize_decode
+
+        eot = 9
+        # live fold: 2 beams, high raw lp, long sequences; finished pool:
+        # one short hypothesis with better per-token normalised score.
+        live_tok = np.array([[1, 2, 3, 4], [5, 6, 7, 8]], np.int32)
+        live_lp = np.array([-4.0, -5.0], np.float32)
+        fin_tok = np.array([[[1, 2, eot, eot], [eot] * 4]], np.int32)
+        fin_lp = np.array([[-1.0, -1e9]], np.float32)
+        pending = {
+            "beam": True, "b": 1, "k": 2, "eot": eot,
+            "tokens": live_tok.reshape(2, 4), "sum_lp": live_lp,
+            "fin_tok": fin_tok, "fin_lp": fin_lp,
+            "ns_prob": np.array([0.1], np.float32),
+            "length_penalty": None,
+        }
+        res = finalize_decode(pending)
+        # finished: -1.0 / 2 = -0.5 beats live best -4.0 / 4 = -1.0
+        assert list(res.tokens[0]) == [1, 2, eot, eot]
+        assert res.sum_logprobs[0] == pytest.approx(-1.0)
+        assert res.lengths[0] == 2
+
+    def test_finalize_tops_up_from_live_when_pool_short(self):
+        from modular_audio_pipeline_tpu.models.whisper.decode import finalize_decode
+
+        eot = 9
+        live_tok = np.array([[1, 2, 3, 4], [5, 6, eot, eot]], np.int32)
+        live_lp = np.array([-8.0, -2.0], np.float32)
+        fin_tok = np.full((1, 2, 4), eot, np.int32)
+        fin_lp = np.full((1, 2), -1e9, np.float32)  # empty pool
+        pending = {
+            "beam": True, "b": 1, "k": 2, "eot": eot,
+            "tokens": live_tok, "sum_lp": live_lp,
+            "fin_tok": fin_tok, "fin_lp": fin_lp,
+            "ns_prob": np.array([0.2], np.float32),
+            "length_penalty": None,
+        }
+        res = finalize_decode(pending)
+        # no finished hypotheses -> live beams ranked by normalised lp:
+        # beam1 -2.0/2 = -1.0 beats beam0 -8.0/4 = -2.0
+        assert list(res.tokens[0]) == [5, 6, eot, eot]
+        assert res.sum_logprobs[0] == pytest.approx(-2.0)
