@@ -59,15 +59,30 @@ def _speaker_pool(n_speakers: int, seed: int):
 
 
 def _embedder_batch(
-    voices, rng: np.random.Generator, batch_speakers: int, utts: int
+    voices, rng: np.random.Generator, batch_speakers: int, utts: int,
+    augment: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Augmentation mirrors the deployment corruptions: additive noise
+    (held-out benchmark uses up to 0.008), random gain, and a low-level
+    interfering background speaker (overlapped-speech robustness)."""
     spk_ids = rng.choice(len(voices), size=batch_speakers, replace=False)
     audio = np.zeros((batch_speakers * utts, _SUBSEG), dtype=np.float32)
     labels = np.zeros(batch_speakers * utts, dtype=np.int32)
     i = 0
     for s in spk_ids:
         for _ in range(utts):
-            audio[i] = synth_utterance(voices[s], 1.5, rng, pause_prob=0.1)
+            x = synth_utterance(voices[s], 1.5, rng, pause_prob=0.1)
+            if augment:
+                x = x * rng.uniform(0.4, 1.4)
+                if rng.random() < 0.3:  # background speaker at -12..-6 dB
+                    other = int(rng.integers(len(voices)))
+                    if other != s:
+                        bg = synth_utterance(voices[other], 1.5, rng)
+                        x = x + rng.uniform(0.25, 0.5) * bg[: len(x)]
+                x = x + rng.uniform(0.0, 0.012) * rng.standard_normal(
+                    len(x)
+                ).astype(np.float32)
+            audio[i] = x[:_SUBSEG]
             labels[i] = s
             i += 1
     return audio, labels
@@ -75,12 +90,12 @@ def _embedder_batch(
 
 def train_embedder(
     out_dir: str,
-    n_speakers: int = 96,
-    steps: int = 600,
+    n_speakers: int = 192,
+    steps: int = 1200,
     batch_speakers: int = 16,
     utts_per_speaker: int = 4,
     lr: float = 1e-3,
-    margin: float = 0.2,
+    margin: float = 0.3,
     scale: float = 30.0,
     seed: int = 0,
 ) -> Dict[str, float]:
@@ -357,7 +372,7 @@ def calibrate_threshold(
     conversations; write the best to ``weights_dir/calibration.json``."""
     from ..diarizer import SpeakerDiarizer
 
-    thresholds = thresholds or [0.7, 0.85, 1.0, 1.15, 1.3]
+    thresholds = thresholds or [0.7, 0.85, 1.0, 1.15, 1.3, 1.45, 1.6]
     best_t, best_der = None, float("inf")
     for t in thresholds:
         diar = SpeakerDiarizer(weights_path=weights_dir, lazy_load=True)

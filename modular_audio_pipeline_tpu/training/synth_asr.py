@@ -239,6 +239,7 @@ def main() -> None:
     ))
     ap.add_argument("--data-dir", default="/tmp/map_tpu_synth_asr")
     ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--n-train", type=int, default=480)
     ap.add_argument("--n-eval", type=int, default=48)
     ap.add_argument("--seed", type=int, default=0)
@@ -250,7 +251,7 @@ def main() -> None:
         args.data_dir, n_train=args.n_train, n_eval=args.n_eval, seed=args.seed
     )
     if not args.eval_only:
-        train_proxy(train_m, dst, epochs=args.epochs, seed=args.seed)
+        train_proxy(train_m, dst, epochs=args.epochs, lr=args.lr, seed=args.seed)
     print(json.dumps(evaluate_wer(dst, eval_m)))
 
 
