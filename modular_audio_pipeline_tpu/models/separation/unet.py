@@ -26,7 +26,7 @@ __all__ = ["MaskUNet", "masking_loss", "dual_stem_loss"]
 _N_FFT = 2048
 _HOP = 512
 _LEVELS = 4
-_BASE = 16
+_BASE = 32  # channel width; 16-wide r1 checkpoints are no longer loadable
 
 
 def _conv(p, x, stride=(1, 1), transpose=False):
@@ -63,7 +63,7 @@ class MaskUNet:
             }
 
         keys = jax.random.split(key, 2 * _LEVELS + 2)
-        cin = 1
+        cin = 2  # log-magnitude + frequency coordinate
         for lvl in range(_LEVELS):
             cout = _BASE * (2**lvl)
             params[f"down{lvl}"] = conv_p(keys[lvl], cin, cout)
@@ -82,6 +82,13 @@ class MaskUNet:
         """mag [B, F, T] (log-compressed inside) -> mask [B, F, T]."""
         x = jnp.log1p(mag)[:, None]  # [B, 1, F, T]
         f, t = x.shape[-2], x.shape[-1]
+        # Frequency-coordinate channel: convs are translation-invariant,
+        # but "is this bin vocal or accompaniment" depends on absolute
+        # frequency (harmonic ranges, bass register). CoordConv-style.
+        freq = jnp.linspace(-1.0, 1.0, f, dtype=x.dtype)
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(freq[None, None, :, None], x.shape)], axis=1
+        )
         # pad spatial dims to a 2^LEVELS multiple
         mult = 2**_LEVELS
         fp = (-f) % mult

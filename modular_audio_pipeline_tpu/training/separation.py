@@ -207,7 +207,7 @@ def main() -> None:
     ))
     ap.add_argument("--model", default="htdemucs",
                     help="bundle name (separation-<model>)")
-    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-only", action="store_true")
     args = ap.parse_args()
