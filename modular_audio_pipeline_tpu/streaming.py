@@ -56,6 +56,15 @@ class StreamingSession:
 
     # -- lifecycle -----------------------------------------------------------
 
+    @classmethod
+    def from_config(cls, config) -> "StreamingSession":
+        """Build a session from a :class:`~.config.PipelineConfig`
+        (same factory convention as the pipeline components)."""
+        from .transcriber import FasterWhisperTranscriber
+
+        tr = FasterWhisperTranscriber.from_config(config)
+        return cls(tr._backend, language=config.transcription.language)
+
     def __enter__(self) -> "StreamingSession":
         return self
 
