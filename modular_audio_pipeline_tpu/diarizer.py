@@ -91,9 +91,11 @@ class SpeakerDiarizer(DiarizerProtocol):
         self.embedding_batch_size = embedding_batch_size
         self._embedder = None
         self._use_noop = False
-        # AHC cut distance; None -> clustering default. Overridden by a
-        # trained checkpoint's calibration.json at load time.
+        # AHC cut distance + single-speaker homogeneity cutoff; None ->
+        # clustering defaults. Overridden by a trained checkpoint's
+        # calibration.json at load time.
         self.ahc_threshold: Optional[float] = None
+        self.single_cutoff: Optional[float] = None
         if not lazy_load:
             self.load_model()
 
@@ -132,14 +134,21 @@ class SpeakerDiarizer(DiarizerProtocol):
                 self._embedder = ConvEmbedder(params=unflatten_tree(flat))
                 logger.info("Loaded ConvEmbedder weights from %s", emb_dir)
                 calib = emb_dir / "calibration.json"
-                if self.ahc_threshold is None and calib.exists():
+                if calib.exists():
                     import json
 
                     with open(calib) as f:
-                        self.ahc_threshold = json.load(f).get("ahc_threshold")
-                    logger.info(
-                        "Using calibrated AHC threshold %.2f", self.ahc_threshold
-                    )
+                        cal = json.load(f)
+                    if self.ahc_threshold is None:
+                        self.ahc_threshold = cal.get("ahc_threshold")
+                        logger.info(
+                            "Using calibrated AHC threshold %.2f",
+                            self.ahc_threshold,
+                        )
+                    if cal.get("single_speaker_cutoff") is not None:
+                        self.single_cutoff = float(
+                            cal["single_speaker_cutoff"]
+                        )
             else:
                 from .models.diarization.embedding import StatsEmbedder
 
@@ -337,6 +346,8 @@ class SpeakerDiarizer(DiarizerProtocol):
             kw = {}
             if self.ahc_threshold is not None:
                 kw["threshold"] = self.ahc_threshold
+            if getattr(self, "single_cutoff", None) is not None:
+                kw["single_cutoff"] = self.single_cutoff
             labels = cluster_embeddings(
                 embeddings, min_speakers=min_speakers, max_speakers=max_speakers,
                 **kw,

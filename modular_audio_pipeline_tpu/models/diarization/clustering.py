@@ -20,6 +20,7 @@ def cluster_embeddings(
     min_speakers: int = 1,
     max_speakers: int = 5,
     threshold: float = 1.0,
+    single_cutoff: float = 0.10,
 ) -> np.ndarray:
     """Returns integer labels [N] in 0..n_clusters-1, ordered by first
     appearance (so SPEAKER_00 is whoever speaks first).
@@ -40,8 +41,11 @@ def cluster_embeddings(
     # rescales to unit variance by construction, so a single-speaker
     # recording would look as spread out as a multi-speaker one. If the
     # raw spread is below typical same-speaker variation, it's one voice.
+    # ``single_cutoff`` is calibrated per embedder on held-out audio
+    # (training.diarization.calibrate_single_cutoff -> calibration.json);
+    # 0.10 is the uncalibrated default.
     raw_dists = pdist(embeddings.astype(np.float64), metric="cosine")
-    if min_speakers <= 1 and np.percentile(raw_dists, 90) < 0.10:
+    if min_speakers <= 1 and np.percentile(raw_dists, 90) < single_cutoff:
         return np.zeros(n, dtype=np.int32)
 
     x = embeddings.astype(np.float64)

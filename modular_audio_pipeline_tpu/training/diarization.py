@@ -42,6 +42,7 @@ __all__ = [
     "train_embedder",
     "train_segmentation",
     "calibrate_threshold",
+    "calibrate_single_cutoff",
     "evaluate_der",
 ]
 
@@ -362,6 +363,65 @@ def evaluate_der(
     return total / count
 
 
+def calibrate_single_cutoff(
+    weights_dir: str, seed: int = 0, count: int = 6
+) -> float:
+    """Calibrate the single-speaker homogeneity cutoff for the trained
+    embedder: the 90th-pct raw cosine distance separates single-speaker
+    recordings (same-voice variation only) from two-speaker ones; pick
+    the midpoint and record it in ``calibration.json``.
+
+    Replaces the hard-coded 0.10 in clustering.cluster_embeddings with a
+    per-embedder value measured on held-out voices."""
+    from scipy.spatial.distance import pdist
+
+    from ..diarizer import SpeakerDiarizer
+
+    diar = SpeakerDiarizer(weights_path=weights_dir, lazy_load=True)
+    diar.load_model()
+    rng = np.random.default_rng(seed + 20_000)
+
+    def p90(n_spk: int) -> List[float]:
+        vals = []
+        for _ in range(count):
+            voices = [sample_voice(rng) for _ in range(n_spk)]
+            turns = [
+                (int(rng.integers(0, n_spk)), float(rng.uniform(2.0, 5.0)))
+                for _ in range(6)
+            ]
+            audio, _truth = synth_conversation(
+                voices, turns, rng, noise_level=float(rng.uniform(0.0, 0.008))
+            )
+            spans = diar._subsegments(audio, SR)
+            if len(spans) < 3:
+                continue
+            emb = diar._embed_all(audio, SR, spans)
+            d = pdist(emb.astype(np.float64), metric="cosine")
+            vals.append(float(np.percentile(d, 90)))
+        return vals
+
+    single_hi = max(p90(1) or [0.05])
+    multi_lo = min(p90(2) or [0.15])
+    if multi_lo > single_hi:
+        # 25% of the way up the gap: a false "single" verdict merges all
+        # speakers (catastrophic), a false "multi" only splits one voice,
+        # so bias toward multi.
+        cutoff = single_hi + 0.25 * (multi_lo - single_hi)
+    else:  # distributions overlap: stay conservative, just above single
+        cutoff = single_hi * 1.05
+    cutoff = float(np.clip(cutoff, 0.03, 0.4))
+    logger.info(
+        "single-speaker cutoff: p90(1spk) max=%.3f, p90(2spk) min=%.3f -> %.3f",
+        single_hi, multi_lo, cutoff,
+    )
+
+    cal_path = Path(weights_dir) / "calibration.json"
+    cal = json.loads(cal_path.read_text()) if cal_path.exists() else {}
+    cal["single_speaker_cutoff"] = round(cutoff, 4)
+    cal_path.write_text(json.dumps(cal, indent=2))
+    return cutoff
+
+
 def calibrate_threshold(
     weights_dir: str,
     thresholds: Optional[List[float]] = None,
@@ -415,6 +475,7 @@ def main() -> None:
         train_segmentation(seg_dir, steps=args.seg_steps, seed=args.seed)
     if not args.skip_calibration:
         calibrate_threshold(emb_dir, seed=args.seed)
+        calibrate_single_cutoff(emb_dir, seed=args.seed)
 
 
 if __name__ == "__main__":
