@@ -60,11 +60,21 @@ def make_audio(seconds: float) -> np.ndarray:
 
 
 def main() -> None:
+    import argparse
+
     import jax
 
     from modular_audio_pipeline_tpu.config import PipelineConfig
     from modular_audio_pipeline_tpu.runtime import enable_persistent_cache
     from modular_audio_pipeline_tpu.serving import ServingPipeline
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--path", choices=("serving", "pipeline"), default="serving",
+        help="serving = device-resident ServingPipeline (headline); "
+        "pipeline = reference-parity AudioPipeline.run stage chain",
+    )
+    args = ap.parse_args()
 
     enable_persistent_cache()
     log(f"devices: {jax.devices()}")
@@ -82,13 +92,35 @@ def main() -> None:
     cfg.transcription.max_decode_tokens = DECODE_TOKENS
     cfg.transcription.word_timestamps = True  # production default (DTW)
 
-    log(f"loading {MODEL} (random weights)...")
-    serving = ServingPipeline(cfg)
-    serving.backend.load()
+    if args.path == "pipeline":
+        # Reference-parity path: AudioPipeline.run over the same audio,
+        # written as a WAV input (stages hand off device buffers, WAV
+        # checkpoints land asynchronously off the critical path).
+        import os
 
-    def run_once() -> int:
-        result = serving.process(audio, SR)
-        return len(result["segments"])
+        from modular_audio_pipeline_tpu.audio_io import write_wav
+        from modular_audio_pipeline_tpu.pipeline import AudioPipeline
+
+        os.makedirs("/tmp/bench_media", exist_ok=True)
+        write_wav(
+            "/tmp/bench_media/bench.wav",
+            audio.astype(np.float32) / 32768.0, SR,
+        )
+        os.environ["MAP_TPU_ALLOW_RANDOM_WEIGHTS"] = "1"
+        pipe = AudioPipeline(cfg)
+
+        def run_once() -> int:
+            result = pipe.run("/tmp/bench_media/bench.wav")
+            assert result.success, result.error
+            return len(result.segments or [])
+    else:
+        log(f"loading {MODEL} (random weights)...")
+        serving = ServingPipeline(cfg)
+        serving.backend.load()
+
+        def run_once() -> int:
+            result = serving.process(audio, SR)
+            return len(result["segments"])
 
     log("warmup (compiles)...")
     t0 = time.perf_counter()
@@ -111,6 +143,7 @@ def main() -> None:
                 "metric": (
                     f"full_pipeline_rtf_{MODEL}_beam{BEAM}_"
                     f"{DECODE_TOKENS}tok_dtw_plus_diarization"
+                    + ("_parity_path" if args.path == "pipeline" else "")
                 ),
                 "value": round(rtf, 2),
                 "unit": "audio_hours_per_hour_per_chip",
