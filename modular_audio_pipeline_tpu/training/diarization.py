@@ -474,8 +474,23 @@ def main() -> None:
     if not args.skip_segmentation:
         train_segmentation(seg_dir, steps=args.seg_steps, seed=args.seed)
     if not args.skip_calibration:
-        calibrate_threshold(emb_dir, seed=args.seed)
-        calibrate_single_cutoff(emb_dir, seed=args.seed)
+        # Calibration inference is tiny; run it in a CPU subprocess so the
+        # numbers are deterministic and independent of whatever
+        # accelerator backend this process trained on (and of chip
+        # contention from other jobs).
+        import subprocess
+        import sys
+
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "import logging; logging.basicConfig(level=logging.INFO)\n"
+            "from modular_audio_pipeline_tpu.training.diarization import (\n"
+            "    calibrate_threshold, calibrate_single_cutoff)\n"
+            f"calibrate_threshold({emb_dir!r}, seed={args.seed})\n"
+            f"calibrate_single_cutoff({emb_dir!r}, seed={args.seed})\n"
+        )
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        subprocess.run([sys.executable, "-c", code], env=env, check=True)
 
 
 if __name__ == "__main__":
