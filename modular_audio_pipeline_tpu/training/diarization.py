@@ -432,12 +432,18 @@ def calibrate_threshold(
     conversations; write the best to ``weights_dir/calibration.json``."""
     from ..diarizer import SpeakerDiarizer
 
-    thresholds = thresholds or [0.7, 0.85, 1.0, 1.15, 1.3, 1.45, 1.6]
+    thresholds = thresholds or [0.85, 1.0, 1.1, 1.2, 1.3, 1.45]
     best_t, best_der = None, float("inf")
     for t in thresholds:
         diar = SpeakerDiarizer(weights_path=weights_dir, lazy_load=True)
         diar.ahc_threshold = t
-        mean_der = evaluate_der(diar, tmp_dir, seed=seed)
+        # Two disjoint held-out seed streams: the sweep is noticeably
+        # threshold-sensitive, and 12 conversations of one stream is not
+        # enough signal to pick a cut that transfers.
+        mean_der = 0.5 * (
+            evaluate_der(diar, tmp_dir, seed=seed)
+            + evaluate_der(diar, tmp_dir, seed=seed + 500)
+        )
         logger.info("AHC threshold %.2f -> DER %.3f", t, mean_der)
         if mean_der < best_der:
             best_t, best_der = t, mean_der

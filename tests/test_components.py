@@ -408,3 +408,40 @@ class TestMaskUNet:
         audio = (0.2 * rng.standard_normal(SR)).astype(np.float32)
         vocals, music = backend(audio, SR)
         assert vocals.shape == audio.shape
+
+
+class TestSpeechFlagSmoothing:
+    """pyannote-style min_duration_off/on smoothing (10 ms grid)."""
+
+    def _smooth(self, flags):
+        import numpy as np
+
+        from modular_audio_pipeline_tpu.diarizer import SpeakerDiarizer
+
+        return SpeakerDiarizer._smooth_speech_flags(np.asarray(flags, bool))
+
+    def test_fills_short_internal_gap(self):
+        f = [True] * 50 + [False] * 30 + [True] * 50  # 300 ms gap
+        assert self._smooth(f).all()
+
+    def test_keeps_long_gap(self):
+        f = [True] * 50 + [False] * 60 + [True] * 50  # 600 ms gap
+        out = self._smooth(f)
+        assert not out[50:110].any() and out[:50].all() and out[110:].all()
+
+    def test_drops_short_island(self):
+        f = [False] * 100 + [True] * 15 + [False] * 100  # 150 ms island
+        assert not self._smooth(f).any()
+
+    def test_preserves_leading_and_trailing_silence(self):
+        f = [False] * 10 + [True] * 100 + [False] * 10  # short edge gaps
+        out = self._smooth(f)
+        assert not out[:10].any() and not out[-10:].any()
+        assert out[10:110].all()
+
+    def test_splintered_micro_regions_consolidate(self):
+        # the failure mode that zeroed out diarization: 30-40 ms speech
+        # islands separated by sub-100 ms gaps must merge, not vanish.
+        f = ([True] * 4 + [False] * 7) * 40
+        out = self._smooth(f)
+        assert out.sum() > 400  # consolidated into one long region
