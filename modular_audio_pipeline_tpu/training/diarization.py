@@ -448,9 +448,10 @@ def calibrate_threshold(
         if mean_der < best_der:
             best_t, best_der = t, mean_der
 
-    out = {"ahc_threshold": best_t, "held_out_der": round(best_der, 4)}
-    with open(Path(weights_dir) / "calibration.json", "w") as f:
-        json.dump(out, f, indent=2)
+    cal_path = Path(weights_dir) / "calibration.json"
+    out = json.loads(cal_path.read_text()) if cal_path.exists() else {}
+    out.update(ahc_threshold=best_t, held_out_der=round(best_der, 4))
+    cal_path.write_text(json.dumps(out, indent=2))
     logger.info("Calibration saved: %s", out)
     return out
 
