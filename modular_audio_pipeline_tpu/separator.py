@@ -107,17 +107,29 @@ class VocalSeparator(VocalSeparatorProtocol):
 
         unet_dir = find_weights_bundle(f"separation-{self.model}")
         if unet_dir is not None:
-            from .models.separation.unet import MaskUNet
-            from .models.whisper.convert import load_params
+            try:
+                from .models.separation.unet import MaskUNet
+                from .models.whisper.convert import load_params
 
-            net = MaskUNet(params=load_params(str(unet_dir)))
-            logger.info("Separation backend: MaskUNet (%s)", unet_dir)
-            self._backend_fn = net.separate
-        else:
-            from .models.separation.repet import repet_separate
+                net = MaskUNet(params=load_params(str(unet_dir)))
+                # Shape-check the checkpoint against the current
+                # architecture on a tiny input: a stale bundle (older
+                # width/channel layout) must degrade to REPET, not fail
+                # every chunk at runtime.
+                net.separate(np.zeros(2048, np.float32), 16000)
+                logger.info("Separation backend: MaskUNet (%s)", unet_dir)
+                self._backend_fn = net.separate
+                return self._backend_fn
+            except Exception as exc:
+                logger.warning(
+                    "Separation checkpoint at %s unusable (%s); "
+                    "falling back to REPET", unet_dir, exc,
+                )
 
-            logger.info("Separation backend: REPET (no %s checkpoint)", self.model)
-            self._backend_fn = repet_separate
+        from .models.separation.repet import repet_separate
+
+        logger.info("Separation backend: REPET (no %s checkpoint)", self.model)
+        self._backend_fn = repet_separate
         return self._backend_fn
 
     def _process_chunk(self, chunk: np.ndarray, sr: int, chunk_index: int) -> np.ndarray:
