@@ -40,11 +40,27 @@ def encode_example(
     language: str = "en",
     task: str = "transcribe",
     max_len: int = 448,
+    timestamps: bool = False,
+    duration: Optional[float] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Transcript -> (tokens [S], targets [S]) for teacher forcing."""
-    sot = tokenizer.sot_sequence(language, task, timestamps=False)
+    """Transcript -> (tokens [S], targets [S]) for teacher forcing.
+
+    With ``timestamps``, the transcript is wrapped as one
+    ``<|0.00|> text <|duration|>`` segment so the trained model speaks
+    the same timestamp grammar the production decoder enforces
+    (whisper's transcribe-time format)."""
+    sot = tokenizer.sot_sequence(language, task, timestamps=timestamps)
     text_ids = tokenizer.encode(" " + text.strip())
-    full = (sot + text_ids + [tokenizer.eot])[:max_len + 1]
+    if timestamps:
+        t_end = float(np.clip(duration if duration is not None else 30.0, 0.02, 30.0))
+        body = (
+            [tokenizer.timestamp_begin]
+            + text_ids
+            + [tokenizer.timestamp_begin + int(round(t_end / 0.02))]
+        )
+    else:
+        body = text_ids
+    full = (sot + body + [tokenizer.eot])[:max_len + 1]
 
     tokens = np.asarray(full[:-1], dtype=np.int32)
     targets = np.asarray(full[1:], dtype=np.int32)
@@ -57,13 +73,14 @@ def encode_example(
 class TranscriptDataset:
     """Batched iterator over (audio, transcript) pairs."""
 
-    examples: List[Tuple[str, str]]  # (wav_path, text)
+    examples: List[Tuple[str, str, Optional[float]]]  # (wav_path, text, duration_s)
     tokenizer: WhisperTokenizer
     dims: WhisperDims
     language: str = "en"
     batch_size: int = 8
     seq_len: int = 224
     shuffle_seed: Optional[int] = 0
+    timestamps: bool = False  # wrap transcripts in the timestamp grammar
 
     @classmethod
     def from_manifest(cls, path: str, tokenizer, dims, **kw) -> "TranscriptDataset":
@@ -73,7 +90,7 @@ class TranscriptDataset:
                 if not line.strip():
                     continue
                 row = json.loads(line)
-                examples.append((row["audio"], row["text"]))
+                examples.append((row["audio"], row["text"], row.get("duration")))
         logger.info("Manifest %s: %d examples", path, len(examples))
         return cls(examples=examples, tokenizer=tokenizer, dims=dims, **kw)
 
@@ -109,10 +126,11 @@ class TranscriptDataset:
             targets = np.full((bs, s), IGNORE_INDEX, dtype=np.int32)
 
             for j, k in enumerate(idx):
-                path, text = self.examples[k]
+                path, text, duration = self.examples[k]
                 audio[j] = self._load_audio(path)
                 t, y = encode_example(
-                    self.tokenizer, text, language=self.language, max_len=s
+                    self.tokenizer, text, language=self.language, max_len=s,
+                    timestamps=self.timestamps, duration=duration,
                 )
                 n = min(len(t), s)
                 tokens[j, :n] = t[:n]

@@ -93,8 +93,8 @@ def make_dataset(
     data_dir: str,
     n_train: int = 480,
     n_eval: int = 48,
-    min_words: int = 2,
-    max_words: int = 7,
+    min_words: int = 12,
+    max_words: int = 26,
     seed: int = 0,
 ) -> Tuple[str, str]:
     """Write train/eval WAVs + JSONL manifests; returns manifest paths.
@@ -114,8 +114,12 @@ def make_dataset(
             words = rng.integers(0, len(VOCAB), size=k)
             text = " ".join(VOCAB[w] for w in words)
             path = root / "wav" / f"{split}_{i:04d}.wav"
-            write_wav(str(path), synth_sentence(list(words), rng), SR)
-            lines.append(json.dumps({"audio": str(path), "text": text}))
+            wave_out = synth_sentence(list(words), rng)
+            write_wav(str(path), wave_out, SR)
+            lines.append(json.dumps({
+                "audio": str(path), "text": text,
+                "duration": round(len(wave_out) / SR, 3),
+            }))
         mpath = root / f"{split}.jsonl"
         mpath.write_text("\n".join(lines) + "\n")
         manifests.append(str(mpath))
@@ -128,7 +132,7 @@ def train_proxy(
     out_dir: str,
     epochs: int = 40,
     batch_size: int = 8,
-    seq_len: int = 64,
+    seq_len: int = 192,
     lr: float = 3e-4,
     seed: int = 0,
 ) -> Dict[str, float]:
@@ -148,12 +152,16 @@ def train_proxy(
     )
     backend.load()
     dims = WHISPER_DIMS["test-tiny"]
+    # Timestamp-grammar training: the production decoder forces the
+    # first generated token to be a timestamp (whisper's rule), so the
+    # proxy model must be trained on the same format.
     dataset = TranscriptDataset.from_manifest(
         manifest, backend.tokenizer, dims,
         language="en", batch_size=batch_size, seq_len=seq_len,
+        timestamps=True,
     )
 
-    steps_per_epoch = (len(dataset) + batch_size - 1) // batch_size
+    steps_per_epoch = len(dataset)  # __len__ = number of batches
     total_steps = epochs * steps_per_epoch
     warmup = min(100, total_steps // 10)
     schedule = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, total_steps)
