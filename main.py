@@ -107,6 +107,9 @@ Examples:
                              help="Converted checkpoint directory (or 'random:SEED')")
     trans_group.add_argument("--batch-size", type=int,
                              help="30s windows decoded per device batch")
+    trans_group.add_argument("--patience", type=float,
+                             help="Beam search patience (finished-pool "
+                                  "factor, faster-whisper semantics)")
 
     proc_group = parser.add_argument_group("Processing Options")
     proc_group.add_argument("--separate-vocals", action="store_true",
@@ -185,6 +188,8 @@ def build_config(args: argparse.Namespace) -> PipelineConfig:
         config.transcription.weights_path = args.weights_dir
     if args.batch_size:
         config.transcription.batch_size = args.batch_size
+    if args.patience is not None:
+        config.transcription.patience = args.patience
 
     if args.separate_vocals:
         config.vocal_separation.enabled = True
