@@ -205,7 +205,12 @@ def _decode_loop(
 
     out_tokens = jnp.full((b, max_new), eot, dtype=jnp.int32)
     last = initial_tokens[:, -1]
-    penult = initial_tokens[:, -2] if p >= 2 else jnp.full((b,), -1, jnp.int32)
+    # openai ApplyTimestampRules treats the penultimate slot as a
+    # timestamp while fewer than two tokens have been SAMPLED (its
+    # `len(sampled) < 2 or ...` convention), so text is allowed right
+    # after the opening <|0.00|>. Prompt tokens must not leak into the
+    # rule, hence the timestamp-sentinel init rather than the prompt tail.
+    penult = jnp.full((b,), ts_begin, jnp.int32)
 
     def body(state):
         (i, cache, out_tokens, last, penult, max_ts, done, sum_lp, rng_key, prev_logits) = state
@@ -328,7 +333,9 @@ def _beam_loop(
 
     out_tokens = jnp.full((bk, max_new), eot, dtype=jnp.int32)
     last = initial_tokens[:, -1]
-    penult = initial_tokens[:, -2] if p >= 2 else jnp.full((bk,), -1, jnp.int32)
+    # Timestamp-sentinel init: see the greedy loop's note (openai's
+    # sampled-only penultimate convention).
+    penult = jnp.full((bk,), ts_begin, jnp.int32)
 
     # beam 0 active, others start at -inf so the first expansion fans out.
     beam_lp = jnp.tile(
