@@ -369,7 +369,12 @@ def _beam_loop(
         # 2K candidates: at most K can be EOT (one per source beam), so the
         # top 2K always contain K live continuations plus every EOT
         # candidate that could rank into the finished pool this step.
-        top_lp, top_idx = jax.lax.top_k(total, 2 * k_beams)  # [B, 2K]
+        # approx_max_k at recall 1.0 is exact and lowers to the TPU's
+        # partial-reduction TopK, much faster than top_k's full sort over
+        # the 260k-wide candidate row.
+        top_lp, top_idx = jax.lax.approx_max_k(
+            total, 2 * k_beams, recall_target=1.0
+        )  # [B, 2K], descending
         src_beam = top_idx // v  # [B, 2K]
         cand_tok = (top_idx % v).astype(jnp.int32)
         # Dead-beam padding sits at ~-1e9; exclude it from the pool.
@@ -377,25 +382,44 @@ def _beam_loop(
 
         # --- finished pool: insert EOT candidates in logprob order while
         # the pool has room (never evict — first-come, as openai-whisper's
-        # finished_sequences dict with max_candidates).
-        rank = jnp.cumsum(valid_eot.astype(jnp.int32), axis=1) - 1  # [B, 2K]
-        slot = fin_cnt[:, None] + rank
-        insert = valid_eot & (slot < pool)
-        flat_cand = (src_beam + jnp.arange(b)[:, None] * k_beams).reshape(b * 2 * k_beams)
-        cand_seq = out_tokens[flat_cand].reshape(b, 2 * k_beams, max_new)
-        sel = jnp.where(
-            insert[:, :, None],
-            jax.nn.one_hot(slot, pool, dtype=jnp.float32),
-            0.0,
-        )  # [B, 2K, C] — each pool slot receives at most one candidate
-        written = jnp.sum(sel, axis=1) > 0  # [B, C]
-        fin_lp = jnp.where(written, jnp.einsum("bec,be->bc", sel, top_lp), fin_lp)
-        new_rows = jnp.einsum(
-            "bec,ben->bcn", sel, cand_seq.astype(jnp.float32)
-        ).astype(jnp.int32)
-        fin_tok = jnp.where(written[:, :, None], new_rows, fin_tok)
-        fin_cnt = jnp.minimum(
-            fin_cnt + jnp.sum(valid_eot.astype(jnp.int32), axis=1), pool
+        # finished_sequences dict with max_candidates). The insertion
+        # arithmetic only runs on steps where an EOT candidate actually
+        # surfaced (with real checkpoints that's a minority of steps;
+        # lax.cond skips the work entirely otherwise).
+        def _insert_pool(args):
+            fin_lp, fin_tok, fin_cnt = args
+            rank = jnp.cumsum(valid_eot.astype(jnp.int32), axis=1) - 1  # [B, 2K]
+            slot = fin_cnt[:, None] + rank
+            insert = valid_eot & (slot < pool)
+            sel = jnp.where(
+                insert[:, :, None],
+                jax.nn.one_hot(slot, pool, dtype=jnp.float32),
+                0.0,
+            )  # [B, 2K, C] — each pool slot receives at most one candidate
+            written = jnp.sum(sel, axis=1) > 0  # [B, C]
+            fin_lp = jnp.where(
+                written, jnp.einsum("bec,be->bc", sel, top_lp), fin_lp
+            )
+            # Candidate sequences = their source beam's out_tokens
+            # (positions >= i are still EOT). Route beam rows into pool
+            # slots with a dense [K -> C] mixing matrix instead of a row
+            # gather: advanced indexing over the batch axis lowers to a
+            # per-row DMA loop on TPU; the tiny einsums stay on the MXU.
+            src_oh = jax.nn.one_hot(src_beam, k_beams, dtype=jnp.float32)
+            beam_to_slot = jnp.einsum("bec,bek->bkc", sel, src_oh)  # [B, K, C]
+            new_rows = jnp.einsum(
+                "bkc,bkt->bct", beam_to_slot,
+                out_tokens.reshape(b, k_beams, max_new).astype(jnp.float32),
+            ).astype(jnp.int32)
+            fin_tok = jnp.where(written[:, :, None], new_rows, fin_tok)
+            fin_cnt = jnp.minimum(
+                fin_cnt + jnp.sum(valid_eot.astype(jnp.int32), axis=1), pool
+            )
+            return fin_lp, fin_tok, fin_cnt
+
+        fin_lp, fin_tok, fin_cnt = jax.lax.cond(
+            jnp.any(valid_eot), _insert_pool, lambda args: args,
+            (fin_lp, fin_tok, fin_cnt),
         )
 
         # --- live fold: top K non-EOT candidates.
@@ -406,14 +430,19 @@ def _beam_loop(
 
         # Gather/reorder everything by source beam (batch-local indices).
         flat_src = (live_src + jnp.arange(b)[:, None] * k_beams).reshape(bk)
-        out_tokens = out_tokens[flat_src]
         max_ts = max_ts[flat_src]
         last = last[flat_src]
         # Cache reorder as a one-hot permutation matmul: a row gather over
         # the batch axis lowers to a per-row while loop on TPU (profiled at
         # ~1.4 ms/step); the [BK, BK] einsum streams the cache once
-        # through the MXU instead.
+        # through the MXU instead. out_tokens rides the same permutation
+        # (f32 one-hot matmul is exact for token ids < 2^24).
         perm = jax.nn.one_hot(flat_src, bk, dtype=cache.k.dtype)  # [BK_new, BK_old]
+        out_tokens = jnp.einsum(
+            "nb,bt->nt", perm.astype(jnp.float32),
+            out_tokens.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
         new_ck = jnp.einsum(
             "nb,lbhcd->lnhcd", perm, cache.k, preferred_element_type=jnp.float32
         ).astype(cache.k.dtype)

@@ -326,6 +326,14 @@ def decoder_forward(
 
     # NOTE: unrolling this scan for shallow decoders speeds greedy decoding
     # ~20% but regresses beam search ~50% (measured on v5e) — keep rolled.
+    # NOTE 2: the caches are carried THROUGH the scan (xs -> ys) with the
+    # per-layer dynamic_update_slice inside the block: XLA aliases the
+    # carried buffers so the update is in place. A round-2 experiment
+    # emitted only the new K/V rows and updated the stacked cache after
+    # the scan — the scan then both reads (xs) and post-updates the same
+    # buffer, which forces a full double-buffer copy of the ~210 MB cache
+    # pair every decode step (profiled at +2.7 ms/step of
+    # dynamic_update_slice + ~3 ms/step of copies on v5e beam-5 serving).
     x, (new_k, new_v, cross_probs) = jax.lax.scan(
         block, x, (dec["blocks"], cache.k, cache.v, xa_k, xa_v)
     )
