@@ -19,7 +19,7 @@ window).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -27,7 +27,7 @@ from .config import WhisperDims
 from .model import KVCache, decoder_forward
 from .tokenizer import WhisperTokenizer
 
-__all__ = ["dtw_path", "align_words"]
+__all__ = ["dtw_path", "align_words", "align_words_batched"]
 
 _FRAME_S = 0.02  # one encoder position = 20 ms of audio
 
@@ -97,26 +97,30 @@ def _median_filter(x: np.ndarray, width: int = 7) -> np.ndarray:
 
 
 def _alignment_matrix_jit(dims: WhisperDims):
-    """Device half of the alignment: teacher-forced cross-attention,
-    per-head standardisation over time, width-7 median filter, head
-    average — so only the final [S, T] f32 matrix (a couple of MB)
-    crosses the device link instead of every head's attention (~0.5 GB
-    per 224-token window on large models).
+    """Device half of the alignment, batched over windows: one
+    teacher-forced cross-attention pass for ALL windows, per-head
+    standardisation over time, width-7 median filter, head average — so
+    only the final [B, S, T] matrices cross the device link (in bf16:
+    the relay's D2H path runs ~20 MB/s, so every byte counts), instead
+    of every head's attention (~0.5 GB per 224-token window) or one
+    device pass per window (profiled at ~4 s of the 8-minute serving
+    run before batching).
     """
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def run(params, seq, xa_k, xa_v):
+        b = seq.shape[0]
         cache = KVCache.zeros(
-            dims, 1, dtype=params["decoder"]["tok_emb"].dtype, ctx=seq.shape[1]
+            dims, b, dtype=params["decoder"]["tok_emb"].dtype, ctx=seq.shape[1]
         )
         _, _, cross = decoder_forward(
             params, dims, seq, xa_k, xa_v, cache, return_cross_probs=True
         )
-        w = cross[:, 0].astype(jnp.float32)  # [L, H, S, T]
-        l, h, s, t = w.shape
-        w = w.reshape(l * h, s, t)
+        w = cross.astype(jnp.float32)  # [L, B, H, S, T]
+        l, _, h, s, t = w.shape
+        w = w.transpose(1, 0, 2, 3, 4).reshape(b * l * h, s, t)
         mean = w.mean(-1, keepdims=True)
         std = w.std(-1, keepdims=True) + 1e-9
         w = (w - mean) / std
@@ -128,12 +132,73 @@ def _alignment_matrix_jit(dims: WhisperDims):
 
         # map (not vmap): per-head 7-stack keeps peak memory ~7 x [S, T]
         w = jax.lax.map(medfilt, w)
-        return w.mean(axis=0)  # [S, T]
+        return w.reshape(b, l * h, s, t).mean(axis=1).astype(jnp.bfloat16)
 
     return run
 
 
 _ALIGN_CACHE: Dict = {}
+
+
+def align_words_batched(
+    params,
+    dims: WhisperDims,
+    tokenizer: WhisperTokenizer,
+    xa_k,
+    xa_v,
+    items: Sequence[Tuple[int, Sequence[int], Sequence[int]]],
+    n_audio_frames: int = 1500,
+    chunk: int = 8,
+) -> List[List[Dict[str, float]]]:
+    """Align many windows' decoded tokens to audio time in one (or few)
+    batched device passes.
+
+    ``items``: ``(window_index, generated_tokens, prompt_prefix)`` per
+    window; ``xa_k``/``xa_v`` are the FULL batch audio K/V — window rows
+    are selected here. Returns one word list per item (same order).
+
+    Sequences are EOT-padded to a shared 64-multiple bucket so the
+    jitted pass compiles a handful of shapes; the decoder is causal, so
+    padded rows cannot affect the real rows and are sliced off.
+    """
+    import jax.numpy as jnp
+
+    if not items:
+        return []
+
+    fulls = []
+    for _, tokens, prefix in items:
+        fulls.append(list(prefix) + [int(t) for t in tokens if int(t) != tokenizer.eot])
+    s_bucket = ((max(len(f) for f in fulls) + 63) // 64) * 64
+
+    if dims not in _ALIGN_CACHE:
+        _ALIGN_CACHE[dims] = _alignment_matrix_jit(dims)
+
+    out: List[List[Dict[str, float]]] = []
+    for c0 in range(0, len(items), chunk):
+        part = items[c0 : c0 + chunk]
+        part_fulls = fulls[c0 : c0 + chunk]
+        idxs = [it[0] for it in part]
+        if idxs == list(range(idxs[0], idxs[0] + len(idxs))):
+            xk = xa_k[:, idxs[0] : idxs[0] + len(idxs)]
+            xv = xa_v[:, idxs[0] : idxs[0] + len(idxs)]
+        else:
+            sel = jnp.asarray(idxs, jnp.int32)
+            xk = jnp.take(xa_k, sel, axis=1)
+            xv = jnp.take(xa_v, sel, axis=1)
+        seq = jnp.asarray(
+            [f + [tokenizer.eot] * (s_bucket - len(f)) for f in part_fulls],
+            dtype=jnp.int32,
+        )
+        matrices = np.asarray(
+            _ALIGN_CACHE[dims](params, seq, xk, xv), dtype=np.float64
+        )
+        for j, (_, tokens, prefix) in enumerate(part):
+            out.append(_words_from_matrix(
+                matrices[j], list(tokens), list(prefix), tokenizer,
+                len(part_fulls[j]), n_audio_frames,
+            ))
+    return out
 
 
 def align_words(
@@ -146,35 +211,30 @@ def align_words(
     prefix: Sequence[int],
     n_audio_frames: int = 1500,
 ) -> List[Dict[str, float]]:
-    """Align one window's decoded tokens to audio time.
-
-    ``tokens`` are the generated tokens (timestamps + text + EOT allowed —
-    specials are skipped for word grouping); ``prefix`` is the prompt/SOT
-    sequence they were conditioned on. Returns
-    ``[{"word", "start", "end"}]`` in window-relative seconds.
-
-    The sequence is EOT-padded to a 64-multiple bucket so the jitted
-    device pass compiles a handful of shapes; the decoder is causal, so
-    padded rows cannot affect the real rows and are sliced off.
-    """
-    import jax.numpy as jnp
-
+    """Single-window convenience wrapper over :func:`align_words_batched`
+    (callers with one window at a time: sequential seek mode, streaming)."""
     text_tokens = [int(t) for t in tokens if int(t) < tokenizer.eot]
     if not text_tokens:
         return []
+    return align_words_batched(
+        params, dims, tokenizer, xa_k[:, :1], xa_v[:, :1],
+        [(0, tokens, prefix)], n_audio_frames,
+    )[0]
 
-    full = list(prefix) + [int(t) for t in tokens if int(t) != tokenizer.eot]
-    s_bucket = ((len(full) + 63) // 64) * 64
-    seq = jnp.asarray(
-        [full + [tokenizer.eot] * (s_bucket - len(full))], dtype=jnp.int32
-    )
 
-    if dims not in _ALIGN_CACHE:
-        _ALIGN_CACHE[dims] = _alignment_matrix_jit(dims)
-    matrix = np.asarray(
-        _ALIGN_CACHE[dims](params, seq, xa_k[:, :1], xa_v[:, :1]),
-        dtype=np.float64,
-    )[: len(full)]
+def _words_from_matrix(
+    matrix: np.ndarray,  # [S_bucket, T] alignment matrix for one window
+    tokens: List[int],
+    prefix: List[int],
+    tokenizer: WhisperTokenizer,
+    full_len: int,
+    n_audio_frames: int,
+) -> List[Dict[str, float]]:
+    """Host half: DTW over the generated rows + word grouping."""
+    text_tokens = [int(t) for t in tokens if int(t) < tokenizer.eot]
+    if not text_tokens:
+        return []
+    matrix = matrix[:full_len]
 
     # rows for the *generated* positions only (skip the prompt/SOT prefix)
     gen_rows = matrix[len(prefix) :, :n_audio_frames]

@@ -310,6 +310,7 @@ class ServingPipeline:
         segments: List[Dict[str, Any]] = []
         for start, b, p, audio_kv in pending:
             result = finalize_decode(p)
+            align_jobs: List[tuple] = []
             for i in range(min(b, n_win - start)):
                 if self.backend._should_skip_window(
                     float(result.no_speech_probs[i]),
@@ -322,10 +323,10 @@ class ServingPipeline:
                     result.tokens[i], float(result.avg_logprobs[i]), offset, win_dur
                 )
                 if self.word_timestamps and segs:
-                    self.backend._attach_words(
-                        segs, result.tokens[i], audio_kv, i, opts, offset
-                    )
+                    align_jobs.append((segs, result.tokens[i], i, offset))
                 segments.extend(segs)
+            if align_jobs:
+                self.backend._attach_words_batch(align_jobs, audio_kv, opts)
 
         # --- diarization (MFCC over windows, host stats + clustering) --------
         diar_turns = []

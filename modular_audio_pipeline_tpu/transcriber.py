@@ -378,6 +378,7 @@ class JaxWhisperBackend:
                         tokens_rows[i] = toks
                         avg_lp[i] = lp
 
+            align_jobs: List[tuple] = []
             for i in range(b):
                 if self._should_skip_window(no_speech[i], avg_lp[i]):
                     continue  # whisper drops silent/music windows entirely
@@ -387,11 +388,10 @@ class JaxWhisperBackend:
                     tokens_rows[i], avg_lp[i], offset, win_dur
                 )
                 if self.word_timestamps and segs:
-                    self._attach_words(
-                        segs, tokens_rows[i], audio_kv, i, opts, offset
-                    )
+                    align_jobs.append((segs, tokens_rows[i], i, offset))
                 segments.extend(segs)
                 texts.extend(s["text"] for s in segs)
+            self._attach_words_batch(align_jobs, audio_kv, opts)
 
         # Keep up to `depth` batches in flight: JAX dispatch is async, so
         # the device crunches batch k+1 while the host parses batch k.
@@ -634,12 +634,38 @@ class JaxWhisperBackend:
                 )
         return out
 
+    def _attach_words_batch(
+        self,
+        jobs: List[tuple],  # (segs, tokens, window_idx, offset)
+        audio_kv,
+        opts,
+    ) -> None:
+        """DTW word alignment for a batch of windows in one (or few)
+        device passes; refines segment boundaries and attaches ``words``
+        to each segment. Per-window passes cost ~4 s of an 8-minute
+        serving run; batched they are a few hundred ms."""
+        from .models.whisper.decode import build_initial_tokens
+        from .models.whisper.timestamps import align_words_batched
+
+        if not jobs:
+            return
+        xa_k, xa_v = audio_kv
+        prefix, _ = build_initial_tokens(self.tokenizer, opts)
+        items = [
+            (idx, [int(t) for t in tokens], prefix)
+            for (_, tokens, idx, _) in jobs
+        ]
+        words_per_window = align_words_batched(
+            self.params, self.dims, self.tokenizer, xa_k, xa_v, items
+        )
+        for (segs, _, _, offset), words in zip(jobs, words_per_window):
+            self._apply_words(segs, words, offset)
+
     def _attach_words(
         self, segs: List[Dict[str, Any]], tokens, audio_kv, window_idx: int,
         opts, offset: float,
     ) -> None:
-        """DTW word alignment for one window; refines segment boundaries
-        and attaches a ``words`` list to each segment."""
+        """Single-window DTW word alignment (sequential seek path)."""
         from .models.whisper.decode import build_initial_tokens
         from .models.whisper.timestamps import align_words
 
@@ -651,6 +677,12 @@ class JaxWhisperBackend:
             xa_k[:, i : i + 1], xa_v[:, i : i + 1],
             [int(t) for t in tokens], prefix,
         )
+        self._apply_words(segs, words, offset)
+
+    @staticmethod
+    def _apply_words(
+        segs: List[Dict[str, Any]], words: List[Dict[str, float]], offset: float
+    ) -> None:
         if not words:
             return
         for seg in segs:
