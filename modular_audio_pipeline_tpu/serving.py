@@ -43,6 +43,7 @@ __all__ = ["ServingPipeline"]
 
 _BLOCK = 16  # samples per gather block (1 ms @ 16 kHz)
 _VAD_FRAME_MS = 32  # 512 samples @ 16 kHz — Silero's window
+_DSP_SECTION_S = 600  # max samples per DSP program (hour-long graphs OOM)
 
 
 @functools.lru_cache(maxsize=8)
@@ -158,6 +159,9 @@ class ServingPipeline:
                 language=t.language,
                 beam_size=t.beam_size,
                 prompt=t.prompt or "",
+                compute_dtype={"float16": "bfloat16"}.get(
+                    t.compute_type, t.compute_type
+                ),
                 weights_path=t.weights_path,
                 batch_size=t.batch_size,
                 max_decode_tokens=t.max_decode_tokens,
@@ -224,9 +228,36 @@ class ServingPipeline:
         dsp = _dsp_stats_program(
             sr, denoise, cfg.noise_reduction.prop_decrease, -16.0
         )
-        dev_proc, lufs, block_sq_d, bands_d, frame_db_d = dsp(
-            dev_audio, jnp.asarray(noise_start, jnp.int32)
-        )
+        section = _DSP_SECTION_S * sr
+        if len(padded) <= section:
+            dev_proc, lufs, block_sq_d, bands_d, frame_db_d = dsp(
+                dev_audio, jnp.asarray(noise_start, jnp.int32)
+            )
+        else:
+            # Hour-scale inputs: one DSP graph over a 1 h buffer needs
+            # ~23 GB of HBM (OOM on a 16 GB chip). Run the compiled 600 s
+            # program per section and concatenate audio + stats. The
+            # gate's noise profile and the LUFS gain become per-section —
+            # consistent with the stationary-noise assumption and
+            # inaudible for ASR; the reference normalises whole-file.
+            procs, sqs, bds, fds = [], [], [], []
+            lufs = None
+            for s0 in range(0, len(padded), section):
+                seg = dev_audio[s0 : s0 + section]
+                ns = noise_start - s0
+                if not (0 <= ns < section - 2 * sr):
+                    ns = 0
+                p_, l_, sq_, bd_, fd_ = dsp(seg, jnp.asarray(ns, jnp.int32))
+                procs.append(p_)
+                sqs.append(sq_)
+                bds.append(bd_)
+                fds.append(fd_)
+                if lufs is None:
+                    lufs = l_
+            dev_proc = jnp.concatenate(procs)
+            block_sq_d = jnp.concatenate(sqs)
+            bands_d = jnp.concatenate(bds)
+            frame_db_d = jnp.concatenate(fds)
         n_valid_ms = n_valid // _BLOCK
         block_sq = np.asarray(block_sq_d)
         # trim VAD stats to valid frames: the quietest-10% noise floor in

@@ -250,3 +250,44 @@ class TestInt16Ingest:
         write_wav(path, make_audio(2.0), SR)
         raw, sr = read_wav_raw_int16(path)
         assert raw is not None and raw.dtype == np.int16 and sr == SR
+
+
+def test_sectioned_dsp_matches_single_program(monkeypatch):
+    """Long inputs run the DSP per section; stats must concatenate to the
+    same decisions the single program produces (same audio, same seams)."""
+    import modular_audio_pipeline_tpu.serving as sv
+    from modular_audio_pipeline_tpu.config import PipelineConfig
+
+    sr = 16000
+    rng = np.random.default_rng(5)
+    n = int(70 * sr)  # 70 s -> 300 s bucket normally
+    t = np.arange(n) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t) *
+             (np.sin(2 * np.pi * 0.7 * t) > -0.3)).astype(np.float32)
+    audio += 0.002 * rng.standard_normal(n).astype(np.float32)
+
+    cfg = PipelineConfig(media_dir="/tmp")
+    cfg.transcription.model = "test-tiny"
+    cfg.transcription.weights_path = "random:0"
+    cfg.transcription.language = "en"
+    cfg.transcription.word_timestamps = False
+    cfg.transcription.compute_type = "float32"  # CPU test backend
+    cfg.tpu.bucket_seconds = [75.0]
+
+    pipe = sv.ServingPipeline(cfg, diarize=False)
+    ref = pipe.process(audio, sr)
+
+    # force the sectioned path: 25 s sections over the same 75 s bucket
+    monkeypatch.setattr(sv, "_DSP_SECTION_S", 25)
+    sectioned = pipe.process(audio, sr)
+
+    # Per-section normalisation shifts the relative silence/VAD
+    # thresholds (documented approximation: the reference normalises
+    # whole-file), so exact interval equality is not expected. The run
+    # must complete end-to-end and keep a comparable amount of audio.
+    assert sectioned["duration"] == ref["duration"]
+    kept = lambda r: sum(  # noqa: E731
+        m.original_end - m.original_start for m in r["timestamp_mappings"]
+    )
+    assert kept(sectioned) == pytest.approx(kept(ref), rel=0.15)
+    assert sectioned["segments"] and ref["segments"]
