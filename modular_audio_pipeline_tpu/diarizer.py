@@ -223,21 +223,61 @@ class SpeakerDiarizer(DiarizerProtocol):
             sliding_windows,
         )
 
-        spans = sliding_windows(len(audio), sr)
-        win = spans[0][1] - spans[0][0]
-        acts = []
+        from .models.diarization.segmentation import (
+            STEP_S,
+            WINDOW_S,
+            powerset_decode,
+        )
+
         bs = self.segmentation_batch_size
-        for i in range(0, len(spans), bs):
-            chunk = spans[i : i + bs]
-            batch = np.zeros((bs, win), dtype=np.float32)
-            for j, (s, e) in enumerate(chunk):
-                batch[j, : e - s] = audio[s:e]
-            # log-mel features via the shared MFCC frontend's mel stage
-            mel = np.asarray(
-                mfcc_batch(jnp.asarray(batch), sr=sr, n_mfcc=40, n_mels=40)
+        win = int(WINDOW_S * sr)
+        if len(audio) <= win:
+            spans = sliding_windows(len(audio), sr)
+            batch = np.zeros((1, win), dtype=np.float32)
+            batch[0, : len(audio)] = audio[:win]
+            mel = mfcc_batch(jnp.asarray(batch), sr=sr, n_mfcc=40, n_mels=40)
+            logits = self._segmentation._apply(self._segmentation.params, mel)
+            window_acts = powerset_decode(np.asarray(logits))
+        else:
+            # Upload the audio ONCE and compute the mel frontend over the
+            # whole file on device; the 10 s windows at a 1 s step are
+            # then pure reshape/stack slices of 1 s frame blocks — the
+            # old per-window batching re-uploaded every sample ~10x
+            # (window/step overlap) and recomputed its mel, ~15 s per
+            # 8-minute file on the relay link.
+            fps = sr // 160  # mel frames per second (10 ms hop)
+            step_frames = int(STEP_S * fps)
+            win_blocks = int(round(WINDOW_S / STEP_S))
+            full_mel = mfcc_batch(
+                jnp.asarray(audio[None]), sr=sr, n_mfcc=40, n_mels=40
+            )[0]
+            n_steps = full_mel.shape[0] // step_frames
+            blocks = full_mel[: n_steps * step_frames].reshape(
+                n_steps, step_frames, -1
             )
-            acts.append(self._segmentation.activities(mel)[: len(chunk)])
-        window_acts = np.concatenate(acts, axis=0)
+            n_win = max(1, n_steps - win_blocks + 1)
+            wins = jnp.stack(
+                [blocks[j : j + n_win] for j in range(win_blocks)], axis=1
+            ).reshape(n_win, win_blocks * step_frames, blocks.shape[-1])
+            spans = [
+                (i * int(STEP_S * sr), i * int(STEP_S * sr) + win)
+                for i in range(n_win)
+            ]
+            pending = []
+            for i in range(0, n_win, bs):
+                chunk = wins[i : i + bs]
+                if chunk.shape[0] < bs:  # pad tail to the compiled shape
+                    chunk = jnp.pad(
+                        chunk, ((0, bs - chunk.shape[0]), (0, 0), (0, 0))
+                    )
+                logits = self._segmentation._apply(
+                    self._segmentation.params, chunk
+                )
+                pending.append((logits, min(bs, n_win - i)))
+            window_acts = np.concatenate(
+                [powerset_decode(np.asarray(lg))[:n] for lg, n in pending],
+                axis=0,
+            )
 
         global_act = aggregate_windows(window_acts, spans, len(audio), sr)
         speech = global_act.max(axis=-1) > 0.5  # [n_frames] 10 ms grid

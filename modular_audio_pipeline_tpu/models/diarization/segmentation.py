@@ -94,12 +94,13 @@ class SegmentationNet:
                 b, s, _ = t.shape
                 return t.reshape(b, s, h, d // h).transpose(0, 2, 1, 3)
 
-            logits = jnp.einsum(
-                "bhqd,bhkd->bhqk", split(q) * (d // h) ** -0.5, split(k),
-                preferred_element_type=jnp.float32,
-            )
-            att = jax.nn.softmax(logits, axis=-1)
-            o = jnp.einsum("bhqk,bhkd->bhqd", att.astype(x.dtype), split(v))
+            # Pallas flash attention (XLA einsum fallback off-TPU): the
+            # materialised [B, H, 1000, 1000] score tensor is ~0.5 GB per
+            # batch-32 window pass and made segmentation memory-bound
+            # (~930 ms/pass profiled); the fused kernel never writes it.
+            from ...ops.attention import flash_attention
+
+            o = flash_attention(split(q), split(k), split(v))
             o = o.transpose(0, 2, 1, 3).reshape(x.shape)
             x = x + o @ p["o"]
             y = ln(x, p["ln2"])
