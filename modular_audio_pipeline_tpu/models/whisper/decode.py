@@ -248,11 +248,18 @@ def _decode_loop(
             (next_tok >= ts_begin) & ~done, jnp.maximum(max_ts, next_tok), max_ts
         )
 
+        # openai's `len(sampled) < 2` convention: the penultimate slot reads
+        # as a timestamp through the SECOND sampled position, so after the
+        # forced opening <|t|> the next token is text, not another
+        # timestamp. The step that samples token 0 must therefore hand the
+        # sentinel (not the prompt tail) to step 1.
+        new_penult = jnp.where(i == 0, jnp.full_like(last, ts_begin), last)
+
         logits, cache = decoder_forward(
             params, dims, next_tok[:, None], xa_k, xa_v, cache
         )
         return (
-            i + 1, cache, out_tokens, next_tok, last, new_max_ts, new_done,
+            i + 1, cache, out_tokens, next_tok, new_penult, new_max_ts, new_done,
             sum_lp, rng_key, logits[:, -1].astype(jnp.float32),
         )
 
@@ -322,7 +329,7 @@ def _beam_loop(
     eot = opts_static["eot"]
     ts_begin = opts_static["ts_begin"]
     timestamps = opts_static["timestamps"]
-    pool = opts_static["pool_size"]  # C = max(k, round(k * patience))
+    pool = opts_static["pool_size"]  # C = max(1, round(k * patience))
 
     ctx = min(dims.n_text_ctx, ((p + max_new + 63) // 64) * 64)
     cache = KVCache.zeros(dims, bk, dtype=params["decoder"]["tok_emb"].dtype, ctx=ctx)
@@ -377,8 +384,17 @@ def _beam_loop(
         )  # [B, 2K], descending
         src_beam = top_idx // v  # [B, 2K]
         cand_tok = (top_idx % v).astype(jnp.int32)
-        # Dead-beam padding sits at ~-1e9; exclude it from the pool.
-        valid_eot = (cand_tok == eot) & (top_lp > -1e8)
+        # Dead-beam padding sits at ~-1e9; exclude it from the pool. And
+        # match openai's candidate scan exactly: it walks candidates in
+        # descending score and STOPS once beam_size live continuations are
+        # saved, so an EOT ranked below the K-th live candidate never
+        # reaches the finished pool. (This also subsumes openai's
+        # per-beam topk(K+1) truncation: an EOT outside its beam's top
+        # K+1 has >= K live candidates from its own beam above it.)
+        is_live_cand = (cand_tok != eot) & (top_lp > -1e8)
+        live_before = jnp.cumsum(is_live_cand.astype(jnp.int32), axis=1) - \
+            is_live_cand.astype(jnp.int32)  # exclusive scan [B, 2K]
+        valid_eot = (cand_tok == eot) & (top_lp > -1e8) & (live_before < k_beams)
 
         # --- finished pool: insert EOT candidates in logprob order while
         # the pool has room (never evict — first-come, as openai-whisper's
@@ -460,7 +476,10 @@ def _beam_loop(
         new_max_ts = jnp.where(
             next_tok >= ts_begin, jnp.maximum(max_ts, next_tok), max_ts
         )
-        penult_new = last
+        # Sampled-only penultimate convention (see greedy loop): step 0
+        # hands the timestamp sentinel forward so the token after the
+        # forced opening timestamp is text.
+        penult_new = jnp.where(i == 0, jnp.full_like(last, ts_begin), last)
         last_new = next_tok
 
         logits, cache = decoder_forward(
@@ -583,9 +602,11 @@ def decode_windows_async(
                 "suppress_blank": opts.suppress_blank,
                 "max_initial_ts_tok": max_initial_ts_tok,
                 "beam_size": opts.beam_size,
+                # openai/faster-whisper allow round(k * patience) < k
+                # (patience < 1 ends the search early); only pool >= 1 is
+                # required (openai asserts max_candidates > 0).
                 "pool_size": max(
-                    opts.beam_size,
-                    int(round(opts.beam_size * (opts.patience or 1.0))),
+                    1, int(round(opts.beam_size * (opts.patience or 1.0)))
                 ),
             }.items()
         )

@@ -132,7 +132,10 @@ def _alignment_matrix_jit(dims: WhisperDims):
 
         # map (not vmap): per-head 7-stack keeps peak memory ~7 x [S, T]
         w = jax.lax.map(medfilt, w)
-        return w.reshape(b, l * h, s, t).mean(axis=1).astype(jnp.bfloat16)
+        # f16, not bf16: same D2H bytes, ~3x the mantissa for the
+        # standardised values (roughly [-3, 3]) — bf16's ~8 mantissa bits
+        # moved DTW paths relative to the f32 single-window reference.
+        return w.reshape(b, l * h, s, t).mean(axis=1).astype(jnp.float16)
 
     return run
 

@@ -174,6 +174,30 @@ class TestDecodeGrammar:
         out = run(last=5, penult=4, max_ts=0)
         assert (out[ts_begin:] > suppressed).all()
 
+    def test_text_follows_opening_timestamp(self, params):
+        """Regression (ADVICE r2, high): openai's ``len(sampled) < 2``
+        penultimate convention keeps the sentinel alive through the second
+        sampled position, so the token right after the forced opening
+        timestamp must be TEXT (or EOT) — never a second timestamp. The
+        off-by-one made every window open ``<|t|><|t|> text...``."""
+        tok = DummyTokenizer()
+        rng = np.random.default_rng(7)
+        audio = (0.1 * rng.standard_normal((2, 16000 * 30))).astype(np.float32)
+        mel = log_mel(jnp.asarray(audio), n_mels=DIMS.n_mels)
+        for beam in (1, 3):
+            res = decode_windows(
+                params, DIMS, tok, mel,
+                DecodeOptions(language="en", beam_size=beam, max_tokens=12),
+            )
+            for b in range(2):
+                toks = [int(t) for t in res.tokens[b] if int(t) != tok.eot]
+                if len(toks) >= 2:
+                    assert tok.is_timestamp(toks[0])
+                    assert not tok.is_timestamp(toks[1]), (
+                        f"beam={beam}: second sampled token is a timestamp "
+                        f"({toks[:4]}) — penult sentinel regressed"
+                    )
+
     def test_no_speech_prob_in_range(self, params, mel_input):
         tok = DummyTokenizer()
         res = decode_windows(
@@ -415,6 +439,25 @@ class TestBeamPatience:
         assert pending["fin_lp"].shape == (1, 4)
         from modular_audio_pipeline_tpu.models.whisper.decode import finalize_decode
 
+        res = finalize_decode(pending)
+        assert res.tokens.shape == (1, 8)
+
+    def test_patience_below_one_shrinks_pool(self, params):
+        # openai/faster-whisper allow round(k * patience) < k; the pool
+        # was previously clamped up to beam_size (ADVICE r2, medium).
+        from modular_audio_pipeline_tpu.models.whisper.decode import (
+            decode_windows_async, finalize_decode,
+        )
+
+        tok = DummyTokenizer()
+        rng = np.random.default_rng(4)
+        audio = (0.1 * rng.standard_normal((1, 16000 * 30))).astype(np.float32)
+        mel = log_mel(jnp.asarray(audio), n_mels=DIMS.n_mels)
+        pending = decode_windows_async(
+            params, DIMS, tok, mel,
+            DecodeOptions(language="en", beam_size=4, max_tokens=8, patience=0.25),
+        )
+        assert pending["fin_tok"].shape == (1, 1, 8)  # C = round(4 * 0.25) = 1
         res = finalize_decode(pending)
         assert res.tokens.shape == (1, 8)
 
