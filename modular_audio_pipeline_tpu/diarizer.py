@@ -298,10 +298,14 @@ class SpeakerDiarizer(DiarizerProtocol):
 
     def _subsegments(self, audio: np.ndarray, sr: int) -> List[tuple]:
         """(start_sample, end_sample) sliding subsegments inside speech."""
+        return self._subsegments_from_regions(self._speech_regions(audio, sr), sr)
+
+    @staticmethod
+    def _subsegments_from_regions(regions: List[tuple], sr: int) -> List[tuple]:
         win = int(_SUBSEG_S * sr)
         hop = int(_SUBSEG_HOP_S * sr)
         out = []
-        for region_start, region_end in self._speech_regions(audio, sr):
+        for region_start, region_end in regions:
             pos = region_start
             while pos + win <= region_end:
                 out.append((pos, pos + win))
@@ -343,6 +347,183 @@ class SpeakerDiarizer(DiarizerProtocol):
             for j, (s, e) in enumerate(chunk):
                 seg = audio[s:e]
                 batch[j, : len(seg)] = seg[:win]
+            out.append(self._embedder.embed(batch)[:n])
+        return np.concatenate(out, axis=0)
+
+    @staticmethod
+    def _turns_from_labels(
+        spans: List[tuple], labels, sr: int
+    ) -> List[DiarizationSegment]:
+        """Merge adjacent same-label subsegments into speaker turns."""
+        segments: List[DiarizationSegment] = []
+        cur_label = None
+        cur_start = cur_end = 0.0
+        for (s, e), lab in zip(spans, labels):
+            t0, t1 = s / sr, e / sr
+            if cur_label is None:
+                cur_label, cur_start, cur_end = int(lab), t0, t1
+            elif int(lab) == cur_label and t0 <= cur_end + _SUBSEG_HOP_S:
+                cur_end = max(cur_end, t1)
+            else:
+                segments.append(
+                    DiarizationSegment(
+                        speaker=f"SPEAKER_{cur_label:02d}",
+                        start=round(cur_start, 3),
+                        end=round(cur_end, 3),
+                        track=str(len(segments)),
+                    )
+                )
+                cur_label, cur_start, cur_end = int(lab), t0, t1
+        if cur_label is not None:
+            segments.append(
+                DiarizationSegment(
+                    speaker=f"SPEAKER_{cur_label:02d}",
+                    start=round(cur_start, 3),
+                    end=round(cur_end, 3),
+                    track=str(len(segments)),
+                )
+            )
+        return segments
+
+    @staticmethod
+    def _voiceprints(embeddings, labels) -> Dict[str, np.ndarray]:
+        """Per-speaker mean embedding per cluster, unit-norm."""
+        voiceprints: Dict[str, np.ndarray] = {}
+        emb = np.asarray(embeddings, dtype=np.float32)
+        lab_arr = np.asarray(labels)
+        for lab in np.unique(lab_arr):
+            mean = emb[lab_arr == lab].mean(axis=0)
+            mean /= max(float(np.linalg.norm(mean)), 1e-8)
+            voiceprints[f"SPEAKER_{int(lab):02d}"] = mean
+        return voiceprints
+
+    # -- device-resident path (ServingPipeline) ---------------------------------
+
+    def diarize_device_timeline(
+        self,
+        dev_audio,  # jnp [N] float32, zero-padded past n_valid
+        n_valid: int,
+        sr: int,
+        min_speakers: int = 2,
+        max_speakers: int = 5,
+    ) -> Tuple[List[DiarizationSegment], Dict[str, np.ndarray]]:
+        """Diarize a device-resident waveform without downloading it.
+
+        The serving pipeline's kept timeline lives on device (the gathered
+        30 s windows flattened back into one contiguous signal). The full
+        trained stack runs here — SegmentationNet speech regions when a
+        checkpoint is shipped, ConvEmbedder subsegment embeddings gathered
+        ON DEVICE from the flat waveform (block-aligned spans), calibrated
+        AHC — so the serving path gets the same quality tier as the
+        stage-by-stage :meth:`diarize` (reference parity anchor:
+        ``/root/reference/audio_pipeline/diarizer.py:104-113``). Features
+        are computed over the flat timeline, not per 30 s window, so no
+        boundary frames are lost.
+        """
+        import jax.numpy as jnp
+
+        self.load_model()
+        if self._use_noop:
+            return (
+                [
+                    DiarizationSegment(
+                        speaker="SPEAKER_00", start=0.0,
+                        end=round(n_valid / sr, 3), track="0",
+                    )
+                ],
+                {},
+            )
+        dev_audio = jnp.asarray(dev_audio)
+
+        regions = self._speech_regions_device(dev_audio, n_valid, sr)
+        spans = self._subsegments_from_regions(regions, sr)
+        if not spans:
+            return [], {}
+
+        embeddings = self._embed_device(dev_audio, spans, sr)
+
+        from .models.diarization.clustering import cluster_embeddings
+
+        kw = {}
+        if self.ahc_threshold is not None:
+            kw["threshold"] = self.ahc_threshold
+        if getattr(self, "single_cutoff", None) is not None:
+            kw["single_cutoff"] = self.single_cutoff
+        labels = cluster_embeddings(
+            embeddings, min_speakers=min_speakers, max_speakers=max_speakers, **kw
+        )
+        return self._turns_from_labels(spans, labels, sr), self._voiceprints(
+            embeddings, labels
+        )
+
+    def _speech_regions_device(self, dev_audio, n_valid: int, sr: int) -> List[tuple]:
+        """Speech regions over a device waveform: segmentation model when
+        loaded (its heavy path is already device-side), else the energy
+        classifier's device stats + host hangover decisions."""
+        if getattr(self, "_segmentation", None) is not None:
+            regions = self._segmentation_regions(dev_audio, sr)
+            regions = [(s, min(e, n_valid)) for s, e in regions if s < n_valid]
+            if regions:
+                return regions
+
+        from .ops.vad_ops import _MODE_THRESHOLDS, band_energies, hangover_segments
+
+        frame_ms = 30
+        frame_len = sr * frame_ms // 1000
+        n_frames = n_valid // frame_len
+        if n_frames == 0:
+            return [(0, n_valid)] if n_valid else []
+        bands_d, db_d = band_energies(dev_audio, sr, frame_ms)
+        bands = np.asarray(bands_d)[:n_frames]
+        frame_db = np.asarray(db_d)[:n_frames]
+        k = max(1, len(bands) // 10)
+        floor = np.sort(bands, axis=0)[:k].mean(axis=0) + 1e-12
+        score = np.log2(1.0 + bands / floor).sum(axis=-1)
+        score_th, db_th = _MODE_THRESHOLDS[1]
+        flags = ((score > score_th) & (frame_db > db_th)).astype(np.int32)
+        segs = hangover_segments(flags, frame_ms, 300, 0.5, 0.9)
+        if not segs:
+            return [(0, n_valid)]
+        return [(s * frame_len, min(n_valid, (e + 1) * frame_len)) for s, e, _ in segs]
+
+    def _embed_device(self, dev_audio, spans: List[tuple], sr: int) -> np.ndarray:
+        """Embed subsegments gathered on device from the flat waveform.
+
+        Span boundaries all sit on feature-grid multiples (10/30 ms frames,
+        0.75 s hops), hence on 16-sample blocks — the gather is exact, and
+        the waveform never crosses the device link."""
+        import jax.numpy as jnp
+
+        from .models.diarization.embedding import StatsEmbedder
+
+        if isinstance(self._embedder, StatsEmbedder):
+            # One device MFCC pass over the timeline; span statistics from
+            # host cumsums over the (small, f16) frame download.
+            from .models.diarization.features import mfcc_batch
+
+            m = mfcc_batch(dev_audio[None], sr=sr, n_mfcc=self._embedder.n_mfcc)
+            frames = np.asarray(m.astype(jnp.float16))[0, :, 1:].astype(np.float32)
+            return self._embedder.embed_spans(
+                frames, np.asarray(spans, dtype=np.int64), sr
+            )
+
+        win = int(_SUBSEG_S * sr)
+        win_blocks = win // 16
+        blocks = dev_audio[: (dev_audio.shape[0] // 16) * 16].reshape(-1, 16)
+        n_blocks_total = blocks.shape[0]
+        max_batch = 1024
+        out = []
+        for i in range(0, len(spans), max_batch):
+            chunk = spans[i : i + max_batch]
+            n = len(chunk)
+            bucket = min(
+                max_batch, max(self.embedding_batch_size, 1 << (n - 1).bit_length())
+            )
+            ids = np.zeros((bucket, win_blocks), dtype=np.int32)
+            for j, (s, _e) in enumerate(chunk):
+                b0 = min(s // 16, max(0, n_blocks_total - win_blocks))
+                ids[j] = np.arange(b0, b0 + win_blocks, dtype=np.int32)
+            batch = blocks[jnp.asarray(ids)].reshape(bucket, win)
             out.append(self._embedder.embed(batch)[:n])
         return np.concatenate(out, axis=0)
 
@@ -393,43 +574,8 @@ class SpeakerDiarizer(DiarizerProtocol):
                 **kw,
             )
 
-            # Merge adjacent same-label subsegments into speaker turns.
-            segments: List[DiarizationSegment] = []
-            cur_label = None
-            cur_start = cur_end = 0.0
-            for (s, e), lab in zip(spans, labels):
-                t0, t1 = s / sr, e / sr
-                if cur_label is None:
-                    cur_label, cur_start, cur_end = int(lab), t0, t1
-                elif int(lab) == cur_label and t0 <= cur_end + _SUBSEG_HOP_S:
-                    cur_end = max(cur_end, t1)
-                else:
-                    segments.append(
-                        DiarizationSegment(
-                            speaker=f"SPEAKER_{cur_label:02d}",
-                            start=round(cur_start, 3),
-                            end=round(cur_end, 3),
-                            track=str(len(segments)),
-                        )
-                    )
-                    cur_label, cur_start, cur_end = int(lab), t0, t1
-            if cur_label is not None:
-                segments.append(
-                    DiarizationSegment(
-                        speaker=f"SPEAKER_{cur_label:02d}",
-                        start=round(cur_start, 3),
-                        end=round(cur_end, 3),
-                        track=str(len(segments)),
-                    )
-                )
-            # per-speaker voiceprints: mean embedding per cluster, unit-norm
-            voiceprints: Dict[str, np.ndarray] = {}
-            emb = np.asarray(embeddings, dtype=np.float32)
-            lab_arr = np.asarray(labels)
-            for lab in np.unique(lab_arr):
-                mean = emb[lab_arr == lab].mean(axis=0)
-                mean /= max(float(np.linalg.norm(mean)), 1e-8)
-                voiceprints[f"SPEAKER_{int(lab):02d}"] = mean
+            segments = self._turns_from_labels(spans, labels, sr)
+            voiceprints = self._voiceprints(embeddings, labels)
 
             logger.info(
                 "Diarization: %d turns, %d speakers",

@@ -98,6 +98,81 @@ class TestServingInputShapes:
         assert result["segments"] == []
 
 
+class TestServingDiarizationParity:
+    """VERDICT r2 #2/#10: the serving path must run the TRAINED diarization
+    stack (ConvEmbedder + SegmentationNet + calibrated AHC), and its turns
+    must agree with the stage-by-stage SpeakerDiarizer on the same audio —
+    features are computed over the flat kept timeline, so no per-window
+    boundary drift."""
+
+    def test_trained_stack_and_turn_agreement(self, tmp_path):
+        from modular_audio_pipeline_tpu.audio_io import write_wav
+        from modular_audio_pipeline_tpu.diarizer import SpeakerDiarizer
+        from modular_audio_pipeline_tpu.evaluation import der
+        from modular_audio_pipeline_tpu.pipeline import AudioPipeline
+        from modular_audio_pipeline_tpu.training.voices import (
+            sample_voice,
+            synth_conversation,
+        )
+
+        rng = np.random.default_rng(11)
+        voices = [sample_voice(rng) for _ in range(2)]
+        turns = [(i % 2, 4.5) for i in range(14)]  # ~63 s alternating
+        audio, truth = synth_conversation(voices, turns, rng, noise_level=0.002)
+
+        cfg = PipelineConfig(media_dir="/tmp")
+        cfg.transcription.model = "test-tiny"
+        cfg.transcription.weights_path = "random:0"
+        cfg.transcription.beam_size = 1
+        cfg.transcription.max_decode_tokens = 8
+        cfg.transcription.language = "en"
+        cfg.transcription.word_timestamps = False
+        cfg.transcription.batch_size = 4
+        cfg.noise_reduction.enabled = False
+        cfg.diarization.min_speakers = 1
+        cfg.diarization.max_speakers = 4
+
+        pipe = ServingPipeline(cfg)
+        result = pipe.process(audio, SR)
+        assert result["diarization"], "expected serving diarization turns"
+
+        # the serving path must have loaded the trained tier, not the
+        # MFCC-statistics fallback (weights ship in the package)
+        from modular_audio_pipeline_tpu.models.diarization.embedding import (
+            ConvEmbedder,
+        )
+
+        assert isinstance(pipe._diarizer._embedder, ConvEmbedder)
+        assert pipe._diarizer._segmentation is not None
+
+        # serving turns live on the kept timeline: map back to original
+        mappings = result["timestamp_mappings"]
+        back = lambda t: AudioPipeline._map_timestamp_to_original(t, mappings)  # noqa: E731
+        serving_orig = [
+            (t["speaker"], back(t["start"]), back(t["end"]))
+            for t in result["diarization"]
+        ]
+
+        path = str(tmp_path / "conv.wav")
+        write_wav(path, audio, SR)
+        stage = [
+            (s.speaker, s.start, s.end)
+            for s in SpeakerDiarizer().diarize(path, 1, 4)
+        ]
+        assert stage
+
+        d_serving = der(truth, serving_orig)["der"]
+        d_stage = der(truth, stage)["der"]
+        # quality parity with the stage-by-stage path on identical audio
+        assert d_serving < d_stage + 0.15, (
+            f"serving DER {d_serving:.3f} vs stage DER {d_stage:.3f}"
+        )
+        # direct agreement between the two hypothesis timelines (drift
+        # check: boundary shifts register as missed/false-alarm time)
+        d_cross = der(stage, serving_orig)["der"]
+        assert d_cross < 0.25, f"serving vs stage disagreement DER {d_cross:.3f}"
+
+
 class TestBlockSilence:
     def test_matches_sample_level_detector(self, tone_plus_silence):
         from modular_audio_pipeline_tpu.ops.silence import detect_nonsilent_ranges
@@ -252,6 +327,97 @@ class TestInt16Ingest:
         assert raw is not None and raw.dtype == np.int16 and sr == SR
 
 
+class TestWholeFileGain:
+    """VERDICT r2 item 6: sectioned serving must apply the EXACT
+    whole-file peak + gated-LUFS gain, not per-section gains."""
+
+    @staticmethod
+    def _oracle_gain(x, sr):
+        import jax.numpy as jnp
+
+        from modular_audio_pipeline_tpu.ops.dynamics import peak_normalize
+        from modular_audio_pipeline_tpu.ops.loudness import (
+            integrated_loudness,
+            normalize_loudness,
+        )
+
+        xd = jnp.asarray(x)
+        xp = peak_normalize(xd)
+        lufs = float(integrated_loudness(xp, sr))
+        if not np.isfinite(lufs) or lufs < -70.0:
+            out = xp
+        else:
+            out = normalize_loudness(xp, lufs, -16.0)
+        # total scalar gain the stage-by-stage chain applies
+        nz = np.flatnonzero(np.abs(np.asarray(x)) > 1e-6)[0]
+        return float(np.asarray(out)[nz] / x[nz]), lufs
+
+    def test_sectioned_equals_whole_file_chain(self):
+        from modular_audio_pipeline_tpu.serving import (
+            _dsp_stats_program,
+            _whole_file_gain,
+        )
+
+        sr = 16000
+        rng = np.random.default_rng(9)
+        n = 75 * sr
+        t = np.arange(n) / sr
+        x = (0.25 * np.sin(2 * np.pi * 220 * t) *
+             (np.sin(2 * np.pi * 0.5 * t) > -0.5)).astype(np.float32)
+        x += 0.001 * rng.standard_normal(n).astype(np.float32)
+        x[: sr // 2] = 0.0
+
+        expected_gain, expected_lufs = self._oracle_gain(x, sr)
+
+        # sectioned stats (25 s sections) -> host combine
+        import jax.numpy as jnp
+
+        dsp = _dsp_stats_program(sr, False, 0.8)
+        peaks, kbs = [], []
+        for s0 in range(0, n, 25 * sr):
+            _p, pk, kb, _sq, _bd, _fd = dsp(
+                jnp.asarray(x[s0 : s0 + 25 * sr]), jnp.asarray(0, jnp.int32)
+            )
+            peaks.append(float(pk))
+            kbs.append(np.asarray(kb))
+        gain, lufs = _whole_file_gain(peaks, np.concatenate(kbs))
+
+        # seam blocks (3 per 25 s seam) are the only divergence: well
+        # inside the +-0.1 LU acceptance
+        assert abs(lufs - expected_lufs) < 0.1, (lufs, expected_lufs)
+        assert gain == pytest.approx(expected_gain, rel=10 ** (0.1 / 20.0) - 1)
+
+    def test_silent_audio_gain_is_unity(self):
+        from modular_audio_pipeline_tpu.serving import _whole_file_gain
+
+        # zero peak: both normalisations are identity (reference skips)
+        gain, lufs = _whole_file_gain([0.0], np.zeros(100, np.float32))
+        assert gain == 1.0 and not np.isfinite(lufs)
+
+    def test_quiet_gain_matches_oracle_chain(self):
+        # very quiet tone: peak normalize lifts it, THEN loudness is
+        # measured (reference order) — the combined gain must still match
+        # the stage-by-stage chain
+        sr = 16000
+        x = (1e-4 * np.sin(2 * np.pi * 300 * np.arange(10 * sr) / sr)).astype(
+            np.float32
+        )
+        expected_gain, expected_lufs = self._oracle_gain(x, sr)
+
+        import jax.numpy as jnp
+
+        from modular_audio_pipeline_tpu.serving import (
+            _dsp_stats_program,
+            _whole_file_gain,
+        )
+
+        dsp = _dsp_stats_program(sr, False, 0.8)
+        _p, pk, kb, _sq, _bd, _fd = dsp(jnp.asarray(x), jnp.asarray(0, jnp.int32))
+        gain, lufs = _whole_file_gain([float(pk)], np.asarray(kb))
+        assert abs(lufs - expected_lufs) < 0.05
+        assert gain == pytest.approx(expected_gain, rel=1e-3)
+
+
 def test_sectioned_dsp_matches_single_program(monkeypatch):
     """Long inputs run the DSP per section; stats must concatenate to the
     same decisions the single program produces (same audio, same seams)."""
@@ -273,6 +439,9 @@ def test_sectioned_dsp_matches_single_program(monkeypatch):
     cfg.transcription.word_timestamps = False
     cfg.transcription.compute_type = "float32"  # CPU test backend
     cfg.tpu.bucket_seconds = [75.0]
+    # isolate the gain path: the spectral gate's per-section noise
+    # profiles are a separate, documented approximation
+    cfg.noise_reduction.enabled = False
 
     pipe = sv.ServingPipeline(cfg, diarize=False)
     ref = pipe.process(audio, sr)
@@ -281,13 +450,9 @@ def test_sectioned_dsp_matches_single_program(monkeypatch):
     monkeypatch.setattr(sv, "_DSP_SECTION_S", 25)
     sectioned = pipe.process(audio, sr)
 
-    # Per-section normalisation shifts the relative silence/VAD
-    # thresholds (documented approximation: the reference normalises
-    # whole-file), so exact interval equality is not expected. The run
-    # must complete end-to-end and keep a comparable amount of audio.
+    # Gains are combined into exact whole-file values across sections
+    # (only per-seam partial gating blocks differ), so the silence/VAD
+    # keep decisions must be identical to the single-program run.
     assert sectioned["duration"] == ref["duration"]
-    kept = lambda r: sum(  # noqa: E731
-        m.original_end - m.original_start for m in r["timestamp_mappings"]
-    )
-    assert kept(sectioned) == pytest.approx(kept(ref), rel=0.15)
+    assert sectioned["timestamp_mappings"] == ref["timestamp_mappings"]
     assert sectioned["segments"] and ref["segments"]
