@@ -131,13 +131,20 @@ def train_proxy(
     manifest: str,
     out_dir: str,
     epochs: int = 40,
-    batch_size: int = 8,
+    batch_size: int = 16,
     seq_len: int = 192,
     lr: float = 3e-4,
     seed: int = 0,
+    model_name: str = "tiny",
+    save_dtype: str = "float16",
 ) -> Dict[str, float]:
-    """Train ``test-tiny`` from scratch on the manifest; save the
-    checkpoint (transcriber-loadable ``params.npz``) to ``out_dir``."""
+    """Train ``model_name`` from scratch on the manifest; save the
+    checkpoint (transcriber-loadable ``params.npz``) to ``out_dir``.
+
+    Round-2's 2-layer d=64 ``test-tiny`` proxy reached teacher-forced
+    loss 0.03 but free-ran poorly (WER 0.878 — exposure bias on long
+    sentences); the real 4-layer d=384 "tiny" dims close that gap
+    (VERDICT r2 item 1)."""
     import jax
     import optax
 
@@ -148,17 +155,17 @@ def train_proxy(
     from .whisper_train import make_train_step
 
     backend = JaxWhisperBackend(
-        "test-tiny", weights_path=f"random:{seed}", compute_dtype="float32"
+        model_name, weights_path=f"random:{seed}", compute_dtype="float32"
     )
     backend.load()
-    dims = WHISPER_DIMS["test-tiny"]
+    dims = WHISPER_DIMS[model_name]
     # Timestamp-grammar training: the production decoder forces the
     # first generated token to be a timestamp (whisper's rule), so the
     # proxy model must be trained on the same format.
     dataset = TranscriptDataset.from_manifest(
         manifest, backend.tokenizer, dims,
         language="en", batch_size=batch_size, seq_len=seq_len,
-        timestamps=True,
+        timestamps=True, cache_mels=True,
     )
 
     steps_per_epoch = len(dataset)  # __len__ = number of batches
@@ -185,7 +192,12 @@ def train_proxy(
                 epoch, epochs, mean_loss, time.time() - t0,
             )
 
-    host = jax.tree.map(np.asarray, state.params)
+    cast = np.float16 if save_dtype == "float16" else np.float32
+    host = jax.tree.map(
+        lambda x: np.asarray(x).astype(cast)
+        if np.issubdtype(np.asarray(x).dtype, np.floating) else np.asarray(x),
+        state.params,
+    )
     save_params(host, out_dir)
     # Mark the checkpoint as byte-tokenized so load_tokenizer picks the
     # byte-identity tokenizer deliberately (it's what training used).
@@ -201,14 +213,19 @@ def evaluate_wer(
     eval_manifest: str,
     beam_size: int = 5,
     limit: Optional[int] = None,
+    model_name: str = "tiny",
 ) -> Dict[str, float]:
     """Decode held-out WAVs through the production transcriber path
-    (batched windows, beam search, fallback ladder) and aggregate WER."""
+    (batched windows, beam search, fallback ladder) and aggregate WER.
+
+    Also counts zero-length segments (``end <= start``) — the round-2
+    beam failure mode was degenerate zero-length timestamp pairs; a
+    healthy checkpoint must produce none (VERDICT r2 item 1)."""
     from ..evaluation.metrics import wer
     from ..transcriber import WhisperTranscriber
 
     tr = WhisperTranscriber(
-        model_name="test-tiny", language="en", beam_size=beam_size,
+        model_name=model_name, language="en", beam_size=beam_size,
         weights_path=weights_dir, word_timestamps=False,
     )
 
@@ -222,17 +239,29 @@ def evaluate_wer(
 
     total_words = 0
     total_errs = 0.0
+    zero_len = 0
+    n_segments = 0
     for ex in examples:
         out = tr.transcribe(ex["audio"])
         m = wer(ex["text"], out.get("text", ""))
         total_words += m["ref_words"]
         total_errs += m["wer"] * m["ref_words"]
+        for seg in out.get("segments", []):
+            n_segments += 1
+            if seg["end"] <= seg["start"]:
+                zero_len += 1
     score = total_errs / max(total_words, 1)
     logger.info(
-        "WER %.4f over %d sentences (%d ref words)",
-        score, len(examples), total_words,
+        "WER %.4f over %d sentences (%d ref words, %d/%d zero-length segments)",
+        score, len(examples), total_words, zero_len, n_segments,
     )
-    return {"wer": round(score, 4), "sentences": len(examples), "ref_words": total_words}
+    return {
+        "wer": round(score, 4),
+        "sentences": len(examples),
+        "ref_words": total_words,
+        "segments": n_segments,
+        "zero_length_segments": zero_len,
+    }
 
 
 def main() -> None:
@@ -248,19 +277,37 @@ def main() -> None:
     ap.add_argument("--data-dir", default="/tmp/map_tpu_synth_asr")
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--lr", type=float, default=3e-4)
-    ap.add_argument("--n-train", type=int, default=480)
+    ap.add_argument("--n-train", type=int, default=960)
     ap.add_argument("--n-eval", type=int, default=48)
+    ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--model", default="tiny",
+        help="whisper dims to train (tiny = the real 4-layer d=384 dims)",
+    )
     ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--beam-size", type=int, default=5)
     args = ap.parse_args()
 
-    dst = str(Path(args.out) / "whisper-test-tiny")
+    # distinct bundle name so a user's real converted whisper-tiny is
+    # never shadowed by the synthetic proxy
+    bundle = (
+        "whisper-test-tiny"
+        if args.model == "test-tiny"
+        else f"whisper-{args.model}-synth-proxy"
+    )
+    dst = str(Path(args.out) / bundle)
     train_m, eval_m = make_dataset(
         args.data_dir, n_train=args.n_train, n_eval=args.n_eval, seed=args.seed
     )
     if not args.eval_only:
-        train_proxy(train_m, dst, epochs=args.epochs, lr=args.lr, seed=args.seed)
-    print(json.dumps(evaluate_wer(dst, eval_m)))
+        train_proxy(
+            train_m, dst, epochs=args.epochs, lr=args.lr, seed=args.seed,
+            model_name=args.model, batch_size=args.batch_size,
+        )
+    print(json.dumps(evaluate_wer(
+        dst, eval_m, model_name=args.model, beam_size=args.beam_size
+    )))
 
 
 if __name__ == "__main__":
