@@ -323,6 +323,10 @@ def derive_pair_table(
     the sign-flipped variant decodes to (-x, -y). linbits falls out of
     the accepted m for escape (value-15) codewords."""
     marker_bits = quad_code_b(*MARKER)
+    # second marker with a different bit pattern: impulses on relative
+    # bins 0 and 1 -> code ~(1100) = "0011" + signs "00"
+    marker2 = (1, 1, 0, 0)
+    marker2_bits = quad_code_b(*marker2)
     found: Dict[Tuple[int, int], str] = {}
     linbits: Optional[int] = None
     n_probes = 0
@@ -335,9 +339,8 @@ def derive_pair_table(
         )
         return recover(pcm)
 
-    def marker_ok(vals: np.ndarray, signs=(1, 1)) -> bool:
-        want = np.zeros(4)
-        want[0], want[3] = signs[0], signs[1]
+    def marker_ok(vals: np.ndarray, quad=MARKER, sign: int = 1) -> bool:
+        want = sign * np.asarray(quad, dtype=np.float64)
         return bool(np.abs(vals[2:6] - want).max() < 0.25)
 
     def check(code: str, m: int) -> Optional[Tuple[int, int, Optional[int]]]:
@@ -350,20 +353,53 @@ def derive_pair_table(
             return None
         if np.abs(vals[6:]).max() > 0.2:
             return None
+        # A strict prefix of a real codeword can absorb the zero padding
+        # and decode plausibly. The true codeword's decode is invariant
+        # to the trailing bits; a prefix-absorber parses differently
+        # under a bit-different second marker.
+        vals2 = probe(code + "0" * m + marker2_bits)
+        if not marker_ok(vals2, quad=marker2):
+            return None
+        if (_unquant(float(vals2[0])) != x or _unquant(float(vals2[1])) != y
+                or np.abs(vals2[6:]).max() > 0.2):
+            return None
         sx, sy = int(x != 0), int(y != 0)
         base = sx + sy
         if m == base:
-            lb = 0 if (x < 15 and y < 15) else None  # escape needs linbits
-            if lb is None and table_id <= 15:
-                lb = 0  # tables 1..15 have no linbits: literal 15 is legal
-            if lb is None:
-                return None
-            return x, y, lb
+            if x < 15 and y < 15:
+                return x, y, 0
+            if table_id <= 15:
+                return x, y, 0  # tables 1..15 have no linbits: literal 15
+            return None  # escape tables: value 15 must carry linbits
+        if table_id <= 15:
+            return None  # no linbits exist: any extra bits are phantom
         extra = m - base
         n_esc = int(x == 15) + int(y == 15)
-        if n_esc and extra > 0 and extra % n_esc == 0:
-            return x, y, extra // n_esc
-        return None
+        if not (n_esc and extra > 0 and extra % n_esc == 0):
+            return None
+        lb = extra // n_esc
+        # Phantom-linbits guard: a strict prefix C of a true codeword
+        # W = C + 0^k can masquerade as an escape codeword with fake
+        # linbits (the absorbed zeros, possibly including W's own real
+        # linbits field). Real linbits add their value to the magnitude
+        # 15. Probe two escape values: 1 ("0..01") and the top bit
+        # 2^(lb-1) ("10..0") — the leading-"1" pattern cannot be
+        # absorbed into the all-zeros codeword tail, so only a true
+        # escape field decodes both magnitudes correctly.
+        for e in {1, 1 << (lb - 1)}:
+            esc = format(e, f"0{lb}b")
+            bits = code
+            bits += (esc if x == 15 else "") + ("0" if x else "")
+            bits += (esc if y == 15 else "") + ("0" if y else "")
+            vals3 = probe(bits + marker_bits)
+            if not marker_ok(vals3) or np.abs(vals3[6:]).max() > 0.2:
+                return None
+            want_x = 15 + e if x == 15 else x
+            want_y = 15 + e if y == 15 else y
+            if (_unquant(float(vals3[0])) != want_x
+                    or _unquant(float(vals3[1])) != want_y):
+                return None
+        return x, y, lb
 
     def confirm_signs(code: str, x: int, y: int, lb: int) -> bool:
         """Negative signs must flip the decoded pair (and the marker)."""
@@ -377,7 +413,7 @@ def derive_pair_table(
         if y:
             bits += "1"
         vals = probe(bits + quad_code_b(-MARKER[0], 0, 0, -MARKER[3]))
-        if not marker_ok(vals, signs=(-1, -1)):
+        if not marker_ok(vals, sign=-1):
             return False
         gx, gy = _unquant(float(-vals[0])), _unquant(float(-vals[1]))
         return gx == x and gy == y
@@ -392,21 +428,19 @@ def derive_pair_table(
             ms += list(range(3, 30))  # linbits unknown yet: scan escapes
         got = None
         for m in ms:
-            got = check(code, m)
-            if got is not None:
+            cand = check(code, m)
+            if cand is None:
+                continue
+            # A bit-padding alignment can make a non-codeword candidate
+            # decode plausibly (the decoder consumes bits past our
+            # intended boundary). The sign-flip confirmation only passes
+            # for the true codeword, so treat failure as a rejection and
+            # keep trying other interpretations / expanding the tree.
+            if confirm_signs(code, *cand) and cand[:2] not in found:
+                got = cand
                 break
         if got is not None:
             x, y, lb = got
-            if (x, y) in found:
-                raise RuntimeError(
-                    f"table {table_id}: duplicate pair {(x, y)} at {code} "
-                    f"(already {found[(x, y)]})"
-                )
-            if not confirm_signs(code, x, y, lb):
-                raise RuntimeError(
-                    f"table {table_id}: sign confirmation failed for "
-                    f"{code} -> {(x, y)}"
-                )
             if lb:
                 if linbits is None:
                     linbits = lb
@@ -422,6 +456,15 @@ def derive_pair_table(
             raise RuntimeError(
                 f"table {table_id}: dead branch at max length: {code}"
             )
+    # Structural validation: a Layer III big-values table is a complete
+    # prefix code over an NxN value square.
+    kraft = sum(2.0 ** -len(bits) for bits in found.values())
+    n = int(round(len(found) ** 0.5))
+    if n * n != len(found) or abs(kraft - 1.0) > 1e-9:
+        raise RuntimeError(
+            f"table {table_id}: incomplete code ({len(found)} entries, "
+            f"Kraft {kraft})"
+        )
     print(
         f"  table {table_id}{progress}: {len(found)} codes, "
         f"linbits={linbits or 0}, {n_probes} probes",
@@ -480,6 +523,31 @@ def derive_count1_table_a(
             quad = tuple(q)
             if quad in nonzero_found:
                 continue
+            # mpg123 zeroes any value whose sign bit crosses the
+            # part2_3_length boundary, so the codeword of e.g.
+            # (0,0,1,1) probed with one sign bit decodes as a
+            # self-consistent (0,0,1,0). True interpretations are
+            # invariant to extra trailing zeros; truncated ones gain
+            # their missing member.
+            stable = True
+            for extra in (1, 2):
+                v2 = probe(code + "0" * (nsign + extra))
+                q2 = [_unquant(float(v)) for v in v2[:4]]
+                if (any(v is None for v in q2) or tuple(q2) != quad
+                        or np.abs(v2[4:]).max() > 0.2):
+                    stable = False
+                    break
+            if not stable:
+                continue
+            # Phantom guard: a strict prefix C of a real codeword
+            # W = C + 0^k absorbs the appended zero sign bits. All-"1"
+            # (negative) sign bits immediately after a true codeword
+            # decode as -Q; after a phantom they divert the parse.
+            nvals = probe(code + "1" * nsign)
+            nq = [_unquant(float(-v)) for v in nvals[:4]]
+            if (any(v is None for v in nq) or tuple(nq) != quad
+                    or np.abs(nvals[4:]).max() > 0.2):
+                continue
             nonzero_found[quad] = code
             matched = True
             break
@@ -512,8 +580,11 @@ def derive_count1_table_a(
         raise RuntimeError("count1 table A: zero quad not identified")
     found = dict(nonzero_found)
     found[(0, 0, 0, 0)] = zero_bits
-    if len(found) != 16:
-        raise RuntimeError(f"count1 table A: {len(found)} codes != 16")
+    kraft = sum(2.0 ** -len(bits) for bits in found.values())
+    if len(found) != 16 or abs(kraft - 1.0) > 1e-9:
+        raise RuntimeError(
+            f"count1 table A: {len(found)} codes, Kraft {kraft}"
+        )
     print(f"  count1 A: 16 codes, {n_probes} probes", file=sys.stderr)
     return found
 
