@@ -180,12 +180,40 @@ class MediaHandler(MediaHandlerProtocol):
                 return out_path
             # toolchain missing: fall through to the FFmpeg path
 
+        if suffix == ".mp3":
+            from .runtime.native_lib import native_mp3_decode
+
+            try:
+                decoded = native_mp3_decode(Path(input_path).read_bytes())
+            except ValueError as exc:
+                # MPEG-2/2.5 low-sample-rate files and intensity-stereo
+                # streams are out of the native decoder's scope; FFmpeg
+                # (when present) still handles them.
+                if not self._check_ffmpeg():
+                    raise MediaConversionError(
+                        f"Cannot decode MP3 file: {input_path}",
+                        details=str(exc),
+                    )
+                logger.warning(
+                    "Native MP3 decode failed (%s); falling back to FFmpeg",
+                    exc,
+                )
+                decoded = None
+            if decoded is not None:
+                samples, sr = decoded
+                samples = samples.mean(axis=1)  # fold to mono
+                samples = resample_poly(samples, sr, self.sample_rate)
+                write_wav(out_path, samples, self.sample_rate)
+                logger.info("Converted to: %s (native MP3 decode)", out_path)
+                return out_path
+            # toolchain missing: fall through to the FFmpeg path
+
         if not self._check_ffmpeg():
             raise MediaConversionError(
                 "Cannot decode non-WAV media",
                 details=(
                     f"{input_path} needs FFmpeg on PATH (first-party native "
-                    "decoders cover WAV and FLAC; other containers are "
+                    "decoders cover WAV, FLAC and MP3; other containers are "
                     "FFmpeg-only)."
                 ),
             )

@@ -108,6 +108,18 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.flac_decode.restype = ctypes.c_int64
+        lib.mp3_probe.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.mp3_probe.restype = ctypes.c_int64
+        lib.mp3_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.mp3_decode.restype = ctypes.c_int64
         _lib = lib
         logger.debug("Loaded native runtime from %s", path)
     except OSError as exc:
@@ -197,6 +209,52 @@ _FLAC_ERRORS = {
     -4: "decoder capacity exceeded",
     -5: "FLAC frame CRC mismatch",
 }
+
+_MP3_ERRORS = {
+    -1: "not an MPEG-1 Layer III stream",
+    -2: "truncated MP3 stream",
+    -3: "malformed MP3 stream",
+    -4: "decoder capacity exceeded",
+    -6: "unsupported MP3 feature (MPEG-2/2.5 or intensity stereo)",
+}
+
+
+def native_mp3_decode(data: bytes):
+    """Decode an MPEG-1 Layer III byte stream with the C++ decoder.
+
+    Returns ``(samples [n, channels] float32, sample_rate)``. Returns
+    None when the native library is unavailable; raises ValueError on
+    malformed/unsupported input (callers may then fall back to FFmpeg).
+    """
+    lib = load_native()
+    if lib is None or not hasattr(lib, "mp3_decode"):
+        return None
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    sr = ctypes.c_int32(0)
+    ch = ctypes.c_int32(0)
+    approx = ctypes.c_int64(0)
+    rc = lib.mp3_probe(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(buf.size),
+        ctypes.byref(sr), ctypes.byref(ch), ctypes.byref(approx),
+    )
+    if rc < 0:
+        raise ValueError(_MP3_ERRORS.get(int(rc), f"MP3 error {rc}"))
+
+    capacity = (int(approx.value) + 4 * 1152) * int(ch.value)
+    out = np.empty(capacity, dtype=np.float32)
+    written = lib.mp3_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(buf.size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(capacity),
+        ctypes.byref(sr), ctypes.byref(ch),
+    )
+    if written < 0:
+        raise ValueError(_MP3_ERRORS.get(int(written), f"MP3 error {written}"))
+    samples = out[: int(written) * int(ch.value)].reshape(-1, int(ch.value))
+    return samples, int(sr.value)
 
 
 def native_flac_decode(data: bytes):

@@ -785,6 +785,7 @@ class WhisperTranscriber:
         mesh=None,
         word_timestamps: bool = True,
         chunking: str = "batched",
+        max_decode_tokens: int = 224,
     ) -> None:
         self.model_name = model_name
         self.language = language
@@ -816,6 +817,7 @@ class WhisperTranscriber:
             mesh=mesh,
             word_timestamps=word_timestamps,
             chunking=chunking,
+            max_decode_tokens=max_decode_tokens,
         )
         if not lazy_load:
             self.load_model()
@@ -835,6 +837,7 @@ class WhisperTranscriber:
             mesh=_mesh_from_config(config),
             word_timestamps=config.transcription.word_timestamps,
             chunking=config.transcription.chunking,
+            max_decode_tokens=config.transcription.max_decode_tokens,
         )
         inst._backend.no_speech_threshold = config.transcription.no_speech_threshold
         inst._backend.logprob_threshold = config.transcription.logprob_threshold
@@ -920,6 +923,7 @@ class FasterWhisperTranscriber:
         mesh=None,
         word_timestamps: bool = True,
         chunking: str = "batched",
+        max_decode_tokens: int = 224,
     ):
         self.model_name = model_name
         self.device = device
@@ -939,6 +943,7 @@ class FasterWhisperTranscriber:
             mesh=mesh,
             word_timestamps=word_timestamps,
             chunking=chunking,
+            max_decode_tokens=max_decode_tokens,
         )
         if not lazy_load:
             self.load_model()
@@ -960,6 +965,7 @@ class FasterWhisperTranscriber:
             mesh=_mesh_from_config(config),
             word_timestamps=config.transcription.word_timestamps,
             chunking=config.transcription.chunking,
+            max_decode_tokens=config.transcription.max_decode_tokens,
         )
         inst._backend.no_speech_threshold = config.transcription.no_speech_threshold
         inst._backend.logprob_threshold = config.transcription.logprob_threshold

@@ -234,6 +234,19 @@ class SileroVADFilter(VADProtocol):
                 else:
                     self.model = ConvVAD(params=tree)
                     logger.info("Loaded ConvVAD weights from %s", weights_dir)
+                # a shipped calibration refines the default threshold; an
+                # explicit user threshold (!= the 0.5 default) still wins
+                calib = weights_dir / "calibration.json"
+                if calib.exists() and self.threshold == 0.5:
+                    try:
+                        import json as _json
+
+                        t = _json.loads(calib.read_text()).get("threshold")
+                        if t is not None:
+                            self.threshold = float(t)
+                            logger.info("Using calibrated VAD threshold %.3f", t)
+                    except (ValueError, OSError):
+                        pass
                 self._use_energy = False
                 return
             except Exception as exc:

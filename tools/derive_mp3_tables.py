@@ -94,17 +94,60 @@ _BITRATE_INDEX = {  # MPEG-1 Layer III
 }
 
 
-def make_frame(
-    huffman_bits_g0: str,
-    big_values_g0: int = 0,
-    table_select_g0: Tuple[int, int, int] = (0, 0, 0),
-    count1table_g0: int = 1,
-    global_gain: int = 210,
-    sr: int = SR,
-    bitrate: int = BITRATE,
-) -> bytes:
-    """One mono MPEG-1 Layer III frame; granule 0 carries the probe
-    payload, granule 1 is silent."""
+class Granule:
+    """Side-info + main-data spec for one granule (defaults = silent)."""
+
+    def __init__(self, payload: str = "", big_values: int = 0,
+                 tables: Tuple[int, int, int] = (0, 0, 0),
+                 count1table: int = 1, global_gain: int = 210,
+                 scalefac_compress: int = 0, region0: int = 7,
+                 region1: int = 7, preflag: int = 0,
+                 scalefac_scale: int = 0, block_type: int = 0,
+                 mixed_block: int = 0,
+                 subblock_gain: Tuple[int, int, int] = (0, 0, 0)) -> None:
+        self.payload = payload  # scalefactor bits + huffman bits
+        self.big_values = big_values
+        self.tables = tables
+        self.count1table = count1table
+        self.global_gain = global_gain
+        self.scalefac_compress = scalefac_compress
+        self.region0 = region0
+        self.region1 = region1
+        self.preflag = preflag
+        self.scalefac_scale = scalefac_scale
+        self.block_type = block_type  # 0 long; 1 start; 2 short; 3 stop
+        self.mixed_block = mixed_block
+        self.subblock_gain = subblock_gain
+
+    def side_info(self, b: "Bits") -> None:
+        b.put(len(self.payload), 12)
+        b.put(self.big_values, 9)
+        b.put(self.global_gain, 8)
+        b.put(self.scalefac_compress, 4)
+        if self.block_type == 0:
+            b.put(0, 1)  # window_switching_flag
+            for t in self.tables:
+                b.put(t, 5)
+            b.put(self.region0, 4)
+            b.put(self.region1, 3)
+        else:
+            b.put(1, 1)  # window_switching_flag
+            b.put(self.block_type, 2)
+            b.put(self.mixed_block, 1)
+            for t in self.tables[:2]:
+                b.put(t, 5)
+            for g in self.subblock_gain:
+                b.put(g, 3)
+        b.put(self.preflag, 1)
+        b.put(self.scalefac_scale, 1)
+        b.put(self.count1table, 1)
+
+
+def make_frame_g(g0: Granule, g1: Optional[Granule] = None,
+                 sr: int = SR, bitrate: int = BITRATE,
+                 scfsi: int = 0) -> bytes:
+    """One mono MPEG-1 Layer III frame from granule specs."""
+    g1 = g1 or Granule()
     b = Bits()
     # header
     b.put(0x7FF, 11)  # sync
@@ -124,28 +167,30 @@ def make_frame(
     # side info (mono: 17 bytes)
     b.put(0, 9)  # main_data_begin
     b.put(0, 5)  # private_bits
-    b.put(0, 4)  # scfsi
-
-    def granule(part2_3: int, big_values: int, tables: Tuple[int, int, int],
-                count1table: int) -> None:
-        b.put(part2_3, 12)
-        b.put(big_values, 9)
-        b.put(global_gain, 8)
-        b.put(0, 4)  # scalefac_compress = 0 -> zero scalefactor bits
-        b.put(0, 1)  # window_switching_flag = 0 (long block)
-        for t in tables:
-            b.put(t, 5)
-        b.put(7, 4)  # region0_count
-        b.put(7, 3)  # region1_count
-        b.put(0, 1)  # preflag
-        b.put(0, 1)  # scalefac_scale
-        b.put(count1table, 1)
-
-    granule(len(huffman_bits_g0), big_values_g0, table_select_g0, count1table_g0)
-    granule(0, 0, (0, 0, 0), 0)
-
-    b.put_str(huffman_bits_g0)
+    b.put(scfsi, 4)
+    g0.side_info(b)
+    g1.side_info(b)
+    b.put_str(g0.payload)
+    b.put_str(g1.payload)
     return b.bytes(pad_to=frame_bytes(sr, bitrate))
+
+
+def make_frame(
+    huffman_bits_g0: str,
+    big_values_g0: int = 0,
+    table_select_g0: Tuple[int, int, int] = (0, 0, 0),
+    count1table_g0: int = 1,
+    global_gain: int = 210,
+    sr: int = SR,
+    bitrate: int = BITRATE,
+) -> bytes:
+    """One mono frame; granule 0 carries the probe payload (long block)."""
+    g0 = Granule(
+        payload=huffman_bits_g0, big_values=big_values_g0,
+        tables=table_select_g0, count1table=count1table_g0,
+        global_gain=global_gain,
+    )
+    return make_frame_g(g0, sr=sr, bitrate=bitrate)
 
 
 def silent_frame(sr: int = SR, bitrate: int = BITRATE) -> bytes:
