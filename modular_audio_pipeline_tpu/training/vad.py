@@ -56,12 +56,54 @@ def _colored_noise(rng: np.random.Generator, n: int, slope: float) -> np.ndarray
     return (out / max(np.abs(out).max(), 1e-9)).astype(np.float32)
 
 
+def _pitched_voice(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Formantless pitched vocalisation: single-f0 harmonic stack with
+    temporal gating/AM at phrase-to-syllable rates (0.8-6 Hz).
+
+    Silero (the reference's DNN VAD) is permissive on pitched vocal-ish
+    content — humming, monotone speech, degraded codec speech all
+    trigger it; the pipeline's music rejection lives in the separator,
+    not the VAD. Training these as POSITIVES keeps that behaviour
+    (music negatives below are chords or AM-free tones)."""
+    t = np.arange(n) / SR
+    f0 = float(rng.uniform(80.0, 350.0))
+    drift = np.interp(
+        np.linspace(0, 1, n), np.linspace(0, 1, 8),
+        rng.normal(0.0, 0.03, 8).cumsum(),
+    )
+    vib = 1.0 + rng.uniform(0.0, 0.02) * np.sin(
+        2 * np.pi * rng.uniform(3.5, 6.5) * t
+    )
+    inst = f0 * np.exp(drift) * vib
+    tilt = rng.uniform(0.5, 1.8)
+    sig = np.zeros(n)
+    for k in range(1, 30):
+        if k * f0 > SR / 2 - 200:
+            break
+        sig += (k ** -tilt) * np.sin(2 * np.pi * k * np.cumsum(inst) / SR)
+    rate = rng.uniform(0.8, 6.0)
+    phase = rng.uniform(0, 6)
+    if rng.random() < 0.5:  # hard on/off gating (phrase-like)
+        env = (np.sin(2 * np.pi * rate * t + phase) > rng.uniform(-0.5, 0.2)).astype(
+            np.float64
+        )
+    else:  # sinusoidal AM (syllable-like)
+        env = np.clip(
+            0.5 * (1 + np.sin(2 * np.pi * rate * t + phase)) * 1.5 - 0.2, 0.0, 1.0
+        )
+    sig *= env
+    peak = np.abs(sig).max()
+    return (sig / max(peak, 1e-9) * rng.uniform(0.2, 0.4)).astype(np.float32)
+
+
 def _music(rng: np.random.Generator, n: int) -> np.ndarray:
-    """Steady harmonic chord — voiced spectrum without speech's syllabic
-    envelope or formant wander (the hard negative for a harmonic VAD)."""
+    """Non-vocal harmonic negative: a CHORD (2-4 simultaneous notes) or a
+    single AM-free steady tone. Single gated/AM'd notes are pitched-voice
+    positives (see :func:`_pitched_voice`)."""
     t = np.arange(n) / SR
     sig = np.zeros(n)
-    n_notes = int(rng.integers(1, 4))
+    n_notes = int(rng.integers(2, 5)) if rng.random() < 0.75 else 1
+    steady = n_notes == 1  # single note must stay AM-free to be a negative
     for _ in range(n_notes):
         f0 = float(rng.uniform(70.0, 500.0))
         vib = 1.0 + rng.uniform(0.0, 0.01) * np.sin(
@@ -72,17 +114,18 @@ def _music(rng: np.random.Generator, n: int) -> np.ndarray:
             if k * f0 > SR / 2 - 200:
                 break
             sig += (k ** -tilt) * np.sin(2 * np.pi * k * f0 * np.cumsum(vib) / SR)
-    # slow tremolo (below the syllabic band) and note on/offs
-    trem = 1.0 + rng.uniform(0.0, 0.3) * np.sin(
-        2 * np.pi * rng.uniform(0.3, 1.5) * t + rng.uniform(0, 6)
-    )
-    sig *= trem
-    if rng.random() < 0.5:  # note boundary
-        cut = int(rng.uniform(0.3, 0.7) * n)
-        ramp = np.ones(n)
-        ramp[cut : cut + 800] = np.linspace(1, 0.2, 800)
-        ramp[cut + 800 :] = 0.2
-        sig *= ramp
+    if not steady:
+        # slow tremolo (below the phrase-gating band) and note on/offs
+        trem = 1.0 + rng.uniform(0.0, 0.3) * np.sin(
+            2 * np.pi * rng.uniform(0.2, 0.6) * t + rng.uniform(0, 6)
+        )
+        sig *= trem
+        if rng.random() < 0.5:  # note boundary
+            cut = int(rng.uniform(0.3, 0.7) * n)
+            ramp = np.ones(n)
+            ramp[cut : cut + 800] = np.linspace(1, 0.2, 800)
+            ramp[cut + 800 :] = 0.2
+            sig *= ramp
     return (sig / max(np.abs(sig).max(), 1e-9)).astype(np.float32)
 
 
@@ -105,7 +148,7 @@ def make_clip(
     """One training clip -> (audio [CLIP_SAMPLES], window labels [N_WINDOWS])."""
     kind = rng.random()
     speech = np.zeros(CLIP_SAMPLES, dtype=np.float32)
-    if kind < 0.55:  # speech (possibly several utterances)
+    if kind < 0.45:  # formant speech (possibly several utterances)
         voice = (
             voices[int(rng.integers(0, len(voices)))] if voices else sample_voice(rng)
         )
@@ -116,6 +159,11 @@ def make_clip(
             utt = synth_utterance(voice, dur, rng)
             end = min(start + len(utt), CLIP_SAMPLES)
             speech[start:end] += utt[: end - start]
+    elif kind < 0.6:  # pitched vocalisation (formantless positive)
+        dur = float(rng.uniform(1.5, CLIP_S))
+        start = int(rng.uniform(0.0, CLIP_S - dur) * SR)
+        utt = _pitched_voice(rng, int(dur * SR))
+        speech[start : start + len(utt)] += utt
     audio = speech.copy()
 
     r = rng.random()
