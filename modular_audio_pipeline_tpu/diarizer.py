@@ -263,20 +263,28 @@ class SpeakerDiarizer(DiarizerProtocol):
                 (i * int(STEP_S * sr), i * int(STEP_S * sr) + win)
                 for i in range(n_win)
             ]
+            # One device call per <=512-window bucket (an hour is ~3600
+            # windows -> 8 calls): per-batch-32 dispatch + D2H previously
+            # dominated segmentation wall time ~4x over the actual net
+            # (1.94 s vs 0.51 s on the 8-min bench file). Marginals
+            # (softmax + powerset membership) fold into the device
+            # program, so the transfer is [n, T, 3] float16.
+            chunk_cap = 512
             pending = []
-            for i in range(0, n_win, bs):
-                chunk = wins[i : i + bs]
-                if chunk.shape[0] < bs:  # pad tail to the compiled shape
-                    chunk = jnp.pad(
-                        chunk, ((0, bs - chunk.shape[0]), (0, 0), (0, 0))
-                    )
-                logits = self._segmentation._apply(
+            for i in range(0, n_win, chunk_cap):
+                chunk = wins[i : i + chunk_cap]
+                n_chunk = chunk.shape[0]
+                pad_n = next(
+                    (c for c in (32, 64, 128, 256, 512) if c >= n_chunk), n_chunk
+                )
+                if n_chunk < pad_n:
+                    chunk = jnp.pad(chunk, ((0, pad_n - n_chunk), (0, 0), (0, 0)))
+                acts = self._segmentation._marginals(
                     self._segmentation.params, chunk
                 )
-                pending.append((logits, min(bs, n_win - i)))
+                pending.append((acts, n_chunk))
             window_acts = np.concatenate(
-                [powerset_decode(np.asarray(lg))[:n] for lg, n in pending],
-                axis=0,
+                [np.asarray(a, dtype=np.float32)[:n] for a, n in pending], axis=0
             )
 
         global_act = aggregate_windows(window_acts, spans, len(audio), sr)

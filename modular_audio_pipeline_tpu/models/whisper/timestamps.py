@@ -13,8 +13,13 @@ frames by dynamic-time-warping the decoder's cross-attention:
 4. token boundary = the DTW path's column (audio frame, 20 ms each) at
    each token row transition; words grouped from tokens.
 
-Steps 1 runs on device; 2-4 are tiny host-side NumPy (S x 1500 per
-window).
+Steps 1-3 all run on device in ONE jitted program: the DTW itself is an
+anti-diagonal wavefront ``lax.scan`` (vectorised over batch and diagonal)
+plus a ``while_loop`` backtrace, so only the per-token jump columns
+([B, S] int32, a few KB) ever cross the device link — the [B, S, 1500]
+alignment matrices (6 MB/chunk at ~20 MB/s D2H on a tunneled chip) never
+do. The host half (step 4) groups tokens into words. NumPy fallbacks
+(:func:`dtw_path`) remain for CPU-only callers and as the test oracle.
 """
 
 from __future__ import annotations
@@ -111,36 +116,149 @@ def _alignment_matrix_jit(dims: WhisperDims):
 
     @jax.jit
     def run(params, seq, xa_k, xa_v):
-        b = seq.shape[0]
-        cache = KVCache.zeros(
-            dims, b, dtype=params["decoder"]["tok_emb"].dtype, ctx=seq.shape[1]
-        )
-        _, _, cross = decoder_forward(
-            params, dims, seq, xa_k, xa_v, cache, return_cross_probs=True
-        )
-        w = cross.astype(jnp.float32)  # [L, B, H, S, T]
-        l, _, h, s, t = w.shape
-        w = w.transpose(1, 0, 2, 3, 4).reshape(b * l * h, s, t)
-        mean = w.mean(-1, keepdims=True)
-        std = w.std(-1, keepdims=True) + 1e-9
-        w = (w - mean) / std
-
-        def medfilt(x):  # [S, T] width-7 median over time, edge-padded
-            padded = jnp.pad(x, ((0, 0), (3, 3)), mode="edge")
-            stack = jnp.stack([padded[:, i : i + t] for i in range(7)])
-            return jnp.median(stack, axis=0)
-
-        # map (not vmap): per-head 7-stack keeps peak memory ~7 x [S, T]
-        w = jax.lax.map(medfilt, w)
         # f16, not bf16: same D2H bytes, ~3x the mantissa for the
         # standardised values (roughly [-3, 3]) — bf16's ~8 mantissa bits
         # moved DTW paths relative to the f32 single-window reference.
-        return w.reshape(b, l * h, s, t).mean(axis=1).astype(jnp.float16)
+        return _alignment_matrix_impl(params, seq, xa_k, xa_v, dims).astype(
+            jnp.float16
+        )
+
+    return run
+
+
+def _alignment_matrix_impl(params, seq, xa_k, xa_v, dims: WhisperDims):
+    """Traced body shared by the host-transfer and fused-DTW programs."""
+    import jax
+    import jax.numpy as jnp
+
+    b = seq.shape[0]
+    cache = KVCache.zeros(
+        dims, b, dtype=params["decoder"]["tok_emb"].dtype, ctx=seq.shape[1]
+    )
+    _, _, cross = decoder_forward(
+        params, dims, seq, xa_k, xa_v, cache, return_cross_probs=True
+    )
+    w = cross.astype(jnp.float32)  # [L, B, H, S, T]
+    l, _, h, s, t = w.shape
+    w = w.transpose(1, 0, 2, 3, 4).reshape(b * l * h, s, t)
+    mean = w.mean(-1, keepdims=True)
+    std = w.std(-1, keepdims=True) + 1e-9
+    w = (w - mean) / std
+
+    def medfilt(x):  # [S, T] width-7 median over time, edge-padded
+        padded = jnp.pad(x, ((0, 0), (3, 3)), mode="edge")
+        stack = jnp.stack([padded[:, i : i + t] for i in range(7)])
+        return jnp.median(stack, axis=0)
+
+    # map (not vmap): per-head 7-stack keeps peak memory ~7 x [S, T]
+    w = jax.lax.map(medfilt, w)
+    return w.reshape(b, l * h, s, t).mean(axis=1)
+
+
+def dtw_cols_batched(cost: "jnp.ndarray", lens: "jnp.ndarray"):
+    """Batched monotonic DTW on device: ``cost [B, S, T]`` -> per-row
+    entry columns ``[B, S] int32`` (same semantics as
+    :func:`dtw_path_python`, ties broken diag > up > left).
+
+    Forward pass is an anti-diagonal wavefront ``lax.scan`` — every cell
+    on a diagonal updates in parallel across batch and row, so the DP is
+    S+T vector steps instead of S*T scalar ones. The data-dependent
+    backtrace runs as a ``while_loop`` of at most S+T tiny gathers.
+    Rows >= ``lens[b]`` are ignored (the backtrace starts at
+    ``(lens[b], T)``; forward DP values at row i depend only on rows
+    <= i, so garbage padding rows cannot corrupt real ones).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    big = jnp.float32(1e30)
+    b, s, t = cost.shape
+    cost = cost.astype(jnp.float32)
+
+    # skew: sk[b, i, d] = cost[b, i, d - i]  (anti-diagonal layout)
+    d_range = jnp.arange(s + t - 1)
+    j_idx = d_range[None, :] - jnp.arange(s)[:, None]  # [S, S+T-1]
+    valid = (j_idx >= 0) & (j_idx < t)
+    sk = jnp.take_along_axis(
+        cost, jnp.clip(j_idx, 0, t - 1)[None].repeat(b, 0), axis=2
+    )
+    sk = jnp.where(valid[None], sk, big)  # [B, S, S+T-1]
+    sk_steps = jnp.moveaxis(sk, 2, 0)  # [S+T-1, B, S]
+
+    i1 = jnp.arange(s + 1)  # acc row index i' (1-indexed rows)
+
+    def step(carry, xs):
+        prev, prevprev, da = carry[0], carry[1], carry[2]
+        sk_d = xs  # [B, S] — cost[i'-1, j'-1] along diagonal da
+        inf_col = jnp.full((b, 1), big)
+        c0 = jnp.concatenate([inf_col, prevprev[:, :-1]], axis=1)  # acc[i'-1, j'-1]
+        c1 = jnp.concatenate([inf_col, prev[:, :-1]], axis=1)  # acc[i'-1, j']
+        c2 = prev  # acc[i', j'-1]
+        best = c0
+        move = jnp.zeros((b, s + 1), jnp.int8)
+        move = jnp.where(c1 < best, jnp.int8(1), move)
+        best = jnp.minimum(best, c1)
+        move = jnp.where(c2 < best, jnp.int8(2), move)
+        best = jnp.minimum(best, c2)
+        cost_d = jnp.concatenate([inf_col, sk_d], axis=1)  # row i' reads sk[i'-1]
+        in_range = (i1 >= 1) & (i1 <= da - 1) & ((da - i1) <= t)
+        new = jnp.where(in_range[None], cost_d + best, big)
+        new = jnp.minimum(new, big)  # keep padded cells finite (no inf-inf NaNs)
+        return (new, prev, da + 1), move
+
+    init_diag = jnp.full((b, s + 1), big).at[:, 0].set(0.0)  # acc[0,0]=0
+    diag1 = jnp.full((b, s + 1), big)  # da=1: walls only
+    (_, _, _), moves = jax.lax.scan(
+        step, (diag1, init_diag, jnp.asarray(2, jnp.int32)), sk_steps
+    )
+    # moves[k] holds diagonal da=k+2; prepend two zero slices so
+    # moves_full[da] indexes directly.
+    moves_full = jnp.concatenate(
+        [jnp.zeros((2, b, s + 1), jnp.int8), moves], axis=0
+    )  # [S+T+1, B, S+1]
+    flat_moves = moves_full.reshape(-1)
+
+    # backtrace: all windows walk in lockstep, frozen when done
+    bi = jnp.arange(b)
+
+    def bt_cond(state):
+        ii, jj, _ = state
+        return jnp.any((ii > 0) & (jj > 0))
+
+    def bt_body(state):
+        ii, jj, cols = state  # ii, jj: [B] current acc coords
+        active = (ii > 0) & (jj > 0)
+        da = ii + jj
+        idx = (da * b + bi) * (s + 1) + ii
+        move = flat_moves[idx]  # [B]
+        row_onehot = (jnp.arange(s)[None, :] == (ii - 1)[:, None]) & active[:, None]
+        cols = jnp.where(row_onehot, (jj - 1)[:, None], cols)
+        ii = jnp.where(active & (move != 2), ii - 1, ii)
+        jj = jnp.where(active & (move != 1), jj - 1, jj)
+        return ii, jj, cols
+
+    cols0 = jnp.zeros((b, s), jnp.int32)
+    _, _, cols = jax.lax.while_loop(
+        bt_cond, bt_body, (lens.astype(jnp.int32), jnp.full((b,), t, jnp.int32), cols0)
+    )
+    return cols
+
+
+def _align_dtw_jit(dims: WhisperDims, prefix_len: int, n_audio_frames: int):
+    """Fused alignment-matrix + device-DTW program (see module docstring)."""
+    import jax
+
+    @jax.jit
+    def run(params, seq, xa_k, xa_v, lens):
+        mat = _alignment_matrix_impl(params, seq, xa_k, xa_v, dims)  # f32
+        gen = mat[:, prefix_len:, :n_audio_frames]  # generated rows only
+        return dtw_cols_batched(-gen, lens)
 
     return run
 
 
 _ALIGN_CACHE: Dict = {}
+_ALIGN_DTW_CACHE: Dict = {}
 
 
 def align_words_batched(
@@ -174,10 +292,14 @@ def align_words_batched(
         fulls.append(list(prefix) + [int(t) for t in tokens if int(t) != tokenizer.eot])
     s_bucket = ((max(len(f) for f in fulls) + 63) // 64) * 64
 
-    if dims not in _ALIGN_CACHE:
-        _ALIGN_CACHE[dims] = _alignment_matrix_jit(dims)
+    prefix_len = len(items[0][2])  # shared across a batch (same options)
+    key = (dims, prefix_len, n_audio_frames)
+    if key not in _ALIGN_DTW_CACHE:
+        _ALIGN_DTW_CACHE[key] = _align_dtw_jit(dims, prefix_len, n_audio_frames)
+    run = _ALIGN_DTW_CACHE[key]
 
     out: List[List[Dict[str, float]]] = []
+    pending = []
     for c0 in range(0, len(items), chunk):
         part = items[c0 : c0 + chunk]
         part_fulls = fulls[c0 : c0 + chunk]
@@ -193,14 +315,18 @@ def align_words_batched(
             [f + [tokenizer.eot] * (s_bucket - len(f)) for f in part_fulls],
             dtype=jnp.int32,
         )
-        matrices = np.asarray(
-            _ALIGN_CACHE[dims](params, seq, xk, xv), dtype=np.float64
+        lens = jnp.asarray(
+            [max(0, len(f) - prefix_len) for f in part_fulls], jnp.int32
         )
+        # dispatch every chunk before the first D2H sync: the device
+        # crunches chunk k+1 while the host fetches/groups chunk k
+        pending.append((part, run(params, seq, xk, xv, lens)))
+    for part, cols_d in pending:
+        cols = np.asarray(cols_d)  # [chunk, S'] int32 — a few KB
         for j, (_, tokens, prefix) in enumerate(part):
-            out.append(_words_from_matrix(
-                matrices[j], list(tokens), list(prefix), tokenizer,
-                len(part_fulls[j]), n_audio_frames,
-            ))
+            out.append(
+                _words_from_cols(cols[j], list(tokens), list(prefix), tokenizer)
+            )
     return out
 
 
@@ -245,6 +371,28 @@ def _words_from_matrix(
         return []
 
     cols = dtw_path(-gen_rows)
+    return _group_words(cols, tokens, tokenizer)
+
+
+def _words_from_cols(
+    cols: np.ndarray,  # [S'] DTW entry columns (device or host DTW)
+    tokens: List[int],
+    prefix: List[int],
+    tokenizer: WhisperTokenizer,
+) -> List[Dict[str, float]]:
+    text_tokens = [int(t) for t in tokens if int(t) < tokenizer.eot]
+    if not text_tokens:
+        return []
+    n_gen = len([t for t in tokens if int(t) != tokenizer.eot])
+    del prefix  # cols already cover generated rows only
+    if n_gen == 0:
+        return []
+    return _group_words(cols[:n_gen], tokens, tokenizer)
+
+
+def _group_words(
+    cols: np.ndarray, tokens: List[int], tokenizer: WhisperTokenizer
+) -> List[Dict[str, float]]:
     gen_tokens = [int(t) for t in tokens if int(t) != tokenizer.eot]
 
     # token start time = DTW column at its row; end = next row's column

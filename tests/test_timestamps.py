@@ -54,6 +54,21 @@ class TestDTW:
         cost = rng.random((16, 40))
         np.testing.assert_array_equal(dtw_path(cost), dtw_path_python(cost))
 
+    def test_device_batched_matches_python(self, rng):
+        from modular_audio_pipeline_tpu.models.whisper.timestamps import (
+            dtw_cols_batched,
+        )
+
+        b, s, t = 4, 24, 80
+        cost = rng.random((b, s, t)).astype(np.float32)
+        lens = np.array([s, 17, 1, 9], np.int32)
+        cols = np.asarray(dtw_cols_batched(jnp.asarray(cost), jnp.asarray(lens)))
+        for i in range(b):
+            if lens[i] == 0:
+                continue
+            expect = dtw_path_python(cost[i, : lens[i]].astype(np.float64))
+            np.testing.assert_array_equal(cols[i, : lens[i]], expect)
+
 
 class TestAlignWords:
     def test_align_words_end_to_end(self, rng):
