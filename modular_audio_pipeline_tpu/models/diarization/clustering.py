@@ -10,9 +10,31 @@ from __future__ import annotations
 
 import numpy as np
 from scipy.cluster.hierarchy import fcluster, linkage
-from scipy.spatial.distance import pdist
 
 __all__ = ["cluster_embeddings"]
+
+
+def _cosine_pdist(x: np.ndarray) -> np.ndarray:
+    """Condensed cosine distances via one BLAS Gram matmul.
+
+    ``scipy.spatial.distance.pdist(metric="cosine")`` walks pairs in
+    single-threaded generic C — ~2 s per call at the ~4.5k subsegments an
+    hour of speech produces (and cluster_embeddings needs two distance
+    passes). ``1 - X_n X_nᵀ`` in float32 BLAS is ~20x faster and equal to
+    within float32 rounding (distances live in [0, 2], far above 1e-6)."""
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    g = xn.astype(np.float32) @ xn.astype(np.float32).T
+    n = len(x)
+    # row-sliced condensed extraction: ~2.5x faster than a triu_indices
+    # fancy index (no 2 x n^2/2 int64 index materialisation)
+    out = np.empty(n * (n - 1) // 2, np.float64)
+    pos = 0
+    for i in range(n - 1):
+        m = n - 1 - i
+        out[pos : pos + m] = g[i, i + 1 :]
+        pos += m
+    np.subtract(1.0, out, out=out)
+    return np.clip(out, 0.0, 2.0, out=out)
 
 
 def cluster_embeddings(
@@ -44,15 +66,22 @@ def cluster_embeddings(
     # ``single_cutoff`` is calibrated per embedder on held-out audio
     # (training.diarization.calibrate_single_cutoff -> calibration.json);
     # 0.10 is the uncalibrated default.
-    raw_dists = pdist(embeddings.astype(np.float64), metric="cosine")
-    if min_speakers <= 1 and np.percentile(raw_dists, 90) < single_cutoff:
-        return np.zeros(n, dtype=np.int32)
+    if min_speakers <= 1:
+        # the p90 homogeneity statistic is stable on a subsample; the
+        # full pass costs ~0.5 s at hour-scale span counts
+        if n > 1536:
+            sub = embeddings[np.random.default_rng(0).choice(n, 1536, False)]
+        else:
+            sub = embeddings
+        raw_dists = _cosine_pdist(sub.astype(np.float64))
+        if np.percentile(raw_dists, 90) < single_cutoff:
+            return np.zeros(n, dtype=np.int32)
 
     x = embeddings.astype(np.float64)
     x = (x - x.mean(axis=0)) / (x.std(axis=0) + 1e-8)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-8)
 
-    dists = pdist(x, metric="cosine")
+    dists = _cosine_pdist(x)
     z = linkage(dists, method="average")
 
     labels = fcluster(z, t=threshold, criterion="distance")

@@ -145,13 +145,15 @@ def _alignment_matrix_impl(params, seq, xa_k, xa_v, dims: WhisperDims):
     std = w.std(-1, keepdims=True) + 1e-9
     w = (w - mean) / std
 
-    def medfilt(x):  # [S, T] width-7 median over time, edge-padded
-        padded = jnp.pad(x, ((0, 0), (3, 3)), mode="edge")
-        stack = jnp.stack([padded[:, i : i + t] for i in range(7)])
+    def medfilt(x):  # [G, S, T] width-7 median over time, edge-padded
+        padded = jnp.pad(x, ((0, 0), (0, 0), (3, 3)), mode="edge")
+        stack = jnp.stack([padded[:, :, i : i + t] for i in range(7)])
         return jnp.median(stack, axis=0)
 
-    # map (not vmap): per-head 7-stack keeps peak memory ~7 x [S, T]
-    w = jax.lax.map(medfilt, w)
+    # chunked map: H heads per step — the 7-wide stack peaks at
+    # ~7 x H x [S, T] (vs 7 x B*L*H all at once), while a fully serial
+    # per-head map pays B*L sequential kernel launches per head group
+    w = jax.lax.map(medfilt, w.reshape(b * l, h, s, t))
     return w.reshape(b, l * h, s, t).mean(axis=1)
 
 

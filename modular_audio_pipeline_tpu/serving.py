@@ -344,7 +344,15 @@ class ServingPipeline:
         n_win = max(1, int(np.ceil(kept_ms_total / win_blocks)))
         from .transcriber import _BATCH_BUCKETS
 
-        pad_win = next((c for c in _BATCH_BUCKETS if c >= n_win), n_win)
+        # Window-count bucket: the padded count shapes every downstream
+        # device program (gather, mel, decode batches, the diarization
+        # flat timeline). Long files round up to 32-window multiples so a
+        # 50-file batch reuses a handful of compiled shapes instead of
+        # recompiling per file's exact kept length.
+        pad_win = next(
+            (c for c in _BATCH_BUCKETS if c >= n_win),
+            ((n_win + 31) // 32) * 32,
+        )
         # pad ids into the zero region beyond n_valid (bucket padding)
         pad_block = min(len(padded) // _BLOCK - 1, n_valid_ms)
         ids_padded = np.full(pad_win * win_blocks, pad_block, dtype=np.int32)
@@ -422,7 +430,7 @@ class ServingPipeline:
         diar_turns = []
         if self.diarize_enabled and kept_ms_total > 0:
             diar_turns = self._diarize_windows(
-                dev_windows, n_win, kept_duration, sr,
+                dev_windows, pad_win, kept_duration, sr,
                 cfg.diarization.min_speakers, cfg.diarization.max_speakers,
             )
 
@@ -617,16 +625,20 @@ class ServingPipeline:
         return intervals, mappings
 
     def _diarize_windows(
-        self, dev_windows, n_win: int, kept_duration: float, sr: int,
+        self, dev_windows, pad_win: int, kept_duration: float, sr: int,
         min_speakers: int, max_speakers: int,
     ) -> List[Dict[str, Any]]:
         """Trained diarization stack over the device-resident kept timeline.
 
         The 30 s windows tile the kept timeline contiguously, so flattening
         them reconstructs the signal exactly; features are then computed
-        over the FLAT timeline (no per-window boundary frame loss).
-        Delegates to :meth:`SpeakerDiarizer.diarize_device_timeline` — the
-        same ConvEmbedder + SegmentationNet + calibrated-AHC tier the
+        over the FLAT timeline (no per-window boundary frame loss). The
+        flat length uses the BUCKETED window count (padded windows are
+        silence, and speech regions are clipped to ``n_valid``), so the
+        mel/segmentation programs compile once per bucket, not once per
+        file's exact kept length. Delegates to
+        :meth:`SpeakerDiarizer.diarize_device_timeline` — the same
+        ConvEmbedder + SegmentationNet + calibrated-AHC tier the
         stage-by-stage path runs (reference anchor:
         ``/root/reference/audio_pipeline/diarizer.py:104-113``)."""
         if getattr(self, "_diarizer", None) is None:
@@ -634,7 +646,7 @@ class ServingPipeline:
 
             self._diarizer = SpeakerDiarizer.from_config(self.config)
 
-        flat = dev_windows[:n_win].reshape(-1)
+        flat = dev_windows[:pad_win].reshape(-1)
         n_valid = min(int(flat.shape[0]), int(round(kept_duration * sr)))
         segs, _ = self._diarizer.diarize_device_timeline(
             flat, n_valid, sr, min_speakers, max_speakers
