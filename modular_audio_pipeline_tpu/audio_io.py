@@ -97,7 +97,7 @@ def read_wav(path: str, mono: bool = True) -> Tuple[np.ndarray, int]:
     when ``mono`` (matching the reference's ffmpeg ``-ac 1`` / pydub
     ``set_channels(1)`` behaviour).
     """
-    if _PENDING:  # an async stage-checkpoint write may still be in flight
+    if _PENDING or _LAZY:  # async write in flight, or lazily deferred
         flush_writes(path)
     try:
         data = Path(path).read_bytes()
@@ -173,7 +173,7 @@ def read_wav_raw_int16(path: str) -> Tuple[Optional[np.ndarray], int]:
     slow host->device link; the device converts to f32 in-graph). Returns
     (None, sr) for any other layout; callers fall back to :func:`read_wav`.
     """
-    if _PENDING:  # an async stage-checkpoint write may still be in flight
+    if _PENDING or _LAZY:  # async write in flight, or lazily deferred
         flush_writes(path)
     try:
         data = Path(path).read_bytes()
@@ -300,6 +300,8 @@ class AudioBuffer:
 
 _BUFFERS: Dict[str, AudioBuffer] = {}
 _PENDING: Dict[str, Future] = {}
+_LAZY: set = set()  # published but deliberately not written (see below)
+_LAZY_PREFIX: Optional[str] = None
 _LOCK = threading.Lock()
 _WRITER: Optional[ThreadPoolExecutor] = None
 _ASYNC_RUNS = 0  # >0 while an orchestrated pipeline run is active
@@ -312,20 +314,35 @@ def _writer() -> ThreadPoolExecutor:
     return _WRITER
 
 
-def begin_async_run() -> None:
+def begin_async_run(lazy_prefix: Optional[str] = None) -> None:
     """Enter orchestrated-run mode: checkpoint WAVs write on a background
     thread (the orchestrator flushes before non-buffer-aware consumers).
     Standalone component calls keep synchronous write-then-return
-    semantics."""
-    global _ASYNC_RUNS
+    semantics.
+
+    ``lazy_prefix``: when the pipeline's checkpointing is disabled
+    (``checkpoint_enabled=False``), stage WAVs under this directory (the
+    run's temp dir — scratch the reference deletes at ``cleanup()``) are
+    not written at all unless something actually reads the path; the
+    device->host download they'd need shares one serial link with the
+    compute stream here, so skipping them removes real critical-path
+    cost. A consumer that does read the path (reference-style DI
+    component, user inspection via ``read_wav``) materialises it on
+    demand through :func:`flush_writes`.
+    """
+    global _ASYNC_RUNS, _LAZY_PREFIX
     with _LOCK:
         _ASYNC_RUNS += 1
+        if lazy_prefix:
+            _LAZY_PREFIX = str(Path(lazy_prefix).resolve())
 
 
 def end_async_run() -> None:
-    global _ASYNC_RUNS
+    global _ASYNC_RUNS, _LAZY_PREFIX
     with _LOCK:
         _ASYNC_RUNS = max(0, _ASYNC_RUNS - 1)
+        if _ASYNC_RUNS == 0:
+            _LAZY_PREFIX = None
     flush_writes()
 
 
@@ -335,13 +352,21 @@ def publish_buffer(
     """Register ``buf`` under ``path`` and write the WAV checkpoint —
     asynchronously inside an orchestrated run (the D2H download, if any,
     happens on the writer thread, off the critical path), synchronously
-    otherwise."""
+    otherwise. Paths under the run's lazy prefix (checkpointing
+    disabled) defer the write until someone reads them."""
     key = str(Path(path).resolve())
     with _LOCK:
         _BUFFERS[key] = buf
         async_mode = _ASYNC_RUNS > 0
+        lazy = (
+            async_mode
+            and _LAZY_PREFIX is not None
+            and key.startswith(_LAZY_PREFIX)
+        )
+        if write_disk and lazy:
+            _LAZY.add(key)
 
-    if write_disk:
+    if write_disk and not lazy:
         if async_mode:
             def task():
                 write_wav(path, buf.as_host(), buf.sr)
@@ -359,18 +384,27 @@ def get_buffer(path: str) -> Optional[AudioBuffer]:
 
 
 def flush_writes(path: Optional[str] = None) -> None:
-    """Block until pending checkpoint writes finish (all, or one path).
-    Call before a non-buffer-aware component reads the file."""
+    """Block until pending checkpoint writes finish (all, or one path),
+    and materialise a lazily-deferred checkpoint when ``path`` names one.
+    Call before a non-buffer-aware component reads the file. A full
+    flush (``path=None``) does NOT materialise lazy checkpoints — they
+    exist precisely because checkpointing was disabled."""
     with _LOCK:
         if path is not None:
-            items = [(k, f) for k, f in _PENDING.items()
-                     if k == str(Path(path).resolve())]
+            key = str(Path(path).resolve())
+            items = [(k, f) for k, f in _PENDING.items() if k == key]
+            lazy_buf = _BUFFERS.get(key) if key in _LAZY else None
         else:
             items = list(_PENDING.items())
-    for key, fut in items:
+            lazy_buf = None
+    for key_, fut in items:
         fut.result()
         with _LOCK:
-            _PENDING.pop(key, None)
+            _PENDING.pop(key_, None)
+    if path is not None and lazy_buf is not None:
+        write_wav(path, lazy_buf.as_host(), lazy_buf.sr)
+        with _LOCK:
+            _LAZY.discard(str(Path(path).resolve()))
 
 
 def clear_buffers() -> None:
@@ -379,3 +413,4 @@ def clear_buffers() -> None:
     flush_writes()
     with _LOCK:
         _BUFFERS.clear()
+        _LAZY.clear()

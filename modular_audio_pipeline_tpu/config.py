@@ -135,6 +135,10 @@ class TranscriptionConfig:
     # Beam-search patience (faster-whisper option): search until
     # round(beam_size * patience) finished hypotheses per window.
     patience: Optional[float] = None
+    # Decoder self-attention KV cache dtype: "int8" (default — halves the
+    # decode step's HBM traffic; exact per-position scale folding, token
+    # parity verified against bf16 on the trained proxy) or "bfloat16".
+    kv_cache_dtype: str = "int8"
 
 
 @dataclass

@@ -31,7 +31,13 @@ import numpy as np
 from functools import lru_cache
 
 from .config import WhisperDims
-from .model import KVCache, cross_kv, decoder_forward, encoder_forward
+from .model import (
+    KVCache,
+    _quantize_rows,
+    cross_kv,
+    decoder_forward,
+    encoder_forward,
+)
 from .tokenizer import WhisperTokenizer
 
 __all__ = ["DecodeOptions", "DecodeResult", "decode_windows", "encode_audio_kv"]
@@ -53,7 +59,25 @@ def encode_audio_kv(params, dims: WhisperDims, mel):
     """mel [B, n_mels, 3000] -> (xa_k, xa_v), one fused jitted program."""
     return _encode_kv_jit(dims)(params, mel)
 
-_NEG_INF = jnp.float32(-1e9)
+
+@jax.jit
+def _quantize_cross_kv(xa_k, xa_v):
+    """Per-position int8 copies of the cross-attention K/V.
+
+    The decode loop re-reads the full audio K/V every step (the largest
+    per-step HBM read in the early cache buckets: ~490 MB bf16 for 16
+    windows of large-v3-turbo); int8 halves it. Quantised once per batch;
+    the bf16 originals stay untouched for the DTW alignment pass, which
+    keeps word-timing numerics identical.
+    """
+    kq, ks = _quantize_rows(xa_k)
+    vq, vs = _quantize_rows(xa_v)
+    return (kq, ks), (vq, vs)
+
+# Python float, not jnp.float32(...): a module-level jnp array would
+# initialise the accelerator backend as an import side effect (and hang
+# imports outright when the TPU relay is unreachable). jnp ops coerce it.
+_NEG_INF = -1e9
 
 
 @dataclass(frozen=True)
@@ -76,6 +100,10 @@ class DecodeOptions:
     # until round(beam_size * patience) finished hypotheses are collected
     # per window. None => 1.0 (the upstream default).
     patience: Optional[float] = None
+    # int8 self-attention KV cache (halves the decode step's dominant HBM
+    # traffic; per-position symmetric scales keep the attention algebra
+    # exact up to int8 rounding — see model.KVCache).
+    kv_int8: bool = True
 
 
 class DecodeResult(NamedTuple):
@@ -199,7 +227,14 @@ def _pad_cache(cache: KVCache, ctx: int) -> KVCache:
     if cur == ctx:
         return cache
     pad = ((0, 0), (0, 0), (0, 0), (0, ctx - cur), (0, 0))
-    return KVCache(k=jnp.pad(cache.k, pad), v=jnp.pad(cache.v, pad), pos=cache.pos)
+    spad = pad[:-1]
+    return KVCache(
+        k=jnp.pad(cache.k, pad),
+        v=jnp.pad(cache.v, pad),
+        pos=cache.pos,
+        k_scale=None if cache.k_scale is None else jnp.pad(cache.k_scale, spad),
+        v_scale=None if cache.v_scale is None else jnp.pad(cache.v_scale, spad),
+    )
 
 
 def _greedy_prefill(
@@ -219,7 +254,10 @@ def _greedy_prefill(
     eot = opts_static["eot"]
     ts_begin = opts_static["ts_begin"]
 
-    cache = KVCache.zeros(dims, b, dtype=params["decoder"]["tok_emb"].dtype, ctx=ctx0)
+    cache = KVCache.zeros(
+        dims, b, dtype=params["decoder"]["tok_emb"].dtype, ctx=ctx0,
+        quant=opts_static.get("kv_int8", False),
+    )
     logits, cache = decoder_forward(params, dims, initial_tokens, xa_k, xa_v, cache)
     sot_logits = logits[:, sot_index].astype(jnp.float32)
     no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, opts_static["no_speech"]]
@@ -361,7 +399,10 @@ def _beam_prefill(
     ts_begin = opts_static["ts_begin"]
     pool = opts_static["pool_size"]
 
-    cache = KVCache.zeros(dims, bk, dtype=params["decoder"]["tok_emb"].dtype, ctx=ctx0)
+    cache = KVCache.zeros(
+        dims, bk, dtype=params["decoder"]["tok_emb"].dtype, ctx=ctx0,
+        quant=opts_static.get("kv_int8", False),
+    )
     logits, cache = decoder_forward(params, dims, initial_tokens, xa_k, xa_v, cache)
     sot_logits = logits[:, sot_index].astype(jnp.float32)
     no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, opts_static["no_speech"]]
@@ -531,13 +572,32 @@ def _beam_stage(
             out_tokens.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32)
+        # int8 caches permute through the MXU's int8 path (int32 accumulate
+        # is exact for one-hot row selection); bf16 caches as before. This
+        # einsum streams the whole cache, so int8 halves the step's
+        # dominant HBM term.
+        acc = jnp.int32 if cache.k.dtype == jnp.int8 else jnp.float32
         new_ck = jnp.einsum(
-            "nb,lbhcd->lnhcd", perm, cache.k, preferred_element_type=jnp.float32
+            "nb,lbhcd->lnhcd", perm, cache.k, preferred_element_type=acc
         ).astype(cache.k.dtype)
         new_cv = jnp.einsum(
-            "nb,lbhcd->lnhcd", perm, cache.v, preferred_element_type=jnp.float32
+            "nb,lbhcd->lnhcd", perm, cache.v, preferred_element_type=acc
         ).astype(cache.v.dtype)
-        cache = KVCache(k=new_ck, v=new_cv, pos=cache.pos)
+        if cache.k_scale is not None:
+            perm_f = perm.astype(jnp.float32)
+            new_ks = jnp.einsum(
+                "nb,lbhc->lnhc", perm_f, cache.k_scale,
+                preferred_element_type=jnp.float32,
+            )
+            new_vs = jnp.einsum(
+                "nb,lbhc->lnhc", perm_f, cache.v_scale,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            new_ks = new_vs = None
+        cache = KVCache(
+            k=new_ck, v=new_cv, pos=cache.pos, k_scale=new_ks, v_scale=new_vs
+        )
 
         next_tok = next_tok.reshape(bk)
         beam_lp = live_lp.reshape(bk)
@@ -656,10 +716,11 @@ def decode_windows_async(
         xa_k, xa_v = audio_kv
     else:
         xa_k, xa_v = encode_audio_kv(params, dims, mel)
+    b = xa_k.shape[1]
+    if opts.kv_int8 and not isinstance(xa_k, tuple):
+        xa_k, xa_v = _quantize_cross_kv(xa_k, xa_v)
 
     initial, sot_index = build_initial_tokens(tokenizer, opts)
-
-    b = xa_k.shape[1]
     suppress_mask, blank_mask = _build_filter_tables(tokenizer, opts, dims.n_vocab)
 
     max_initial_ts_tok = tokenizer.timestamp_begin + int(
@@ -683,6 +744,7 @@ def decode_windows_async(
                 "pool_size": max(
                     1, int(round(opts.beam_size * (opts.patience or 1.0)))
                 ),
+                "kv_int8": opts.kv_int8,
             }.items()
         )
     )

@@ -133,14 +133,30 @@ class KVCache(NamedTuple):
     """Pre-allocated decoder self-attention cache.
 
     ``k``/``v``: [L, B, H, n_text_ctx, hd]; ``pos``: next write index.
+
+    In int8 mode (``quant=True``) ``k``/``v`` hold symmetric per-position
+    int8 codes and ``k_scale``/``v_scale`` ([L, B, H, n_text_ctx] f32) the
+    dequantisation scales. Halving the cache bytes halves every per-step
+    HBM cost that dominates beam decoding on TPU (attention reads, beam
+    reorders, scan xs reads, while-carry copies); the scales fold exactly
+    into the attention algebra (per-key-position factors multiply scores
+    after the QK matmul and probabilities before the PV matmul).
     """
 
     k: jnp.ndarray
     v: jnp.ndarray
     pos: jnp.ndarray  # scalar int32
+    k_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
 
     @staticmethod
-    def zeros(dims: WhisperDims, batch: int, dtype, ctx: Optional[int] = None) -> "KVCache":
+    def zeros(
+        dims: WhisperDims,
+        batch: int,
+        dtype,
+        ctx: Optional[int] = None,
+        quant: bool = False,
+    ) -> "KVCache":
         shape = (
             dims.n_text_layer,
             batch,
@@ -148,11 +164,32 @@ class KVCache(NamedTuple):
             ctx if ctx is not None else dims.n_text_ctx,
             dims.n_text_state // dims.n_text_head,
         )
+        if quant:
+            return KVCache(
+                k=jnp.zeros(shape, dtype=jnp.int8),
+                v=jnp.zeros(shape, dtype=jnp.int8),
+                pos=jnp.zeros((), dtype=jnp.int32),
+                k_scale=jnp.zeros(shape[:-1], dtype=jnp.float32),
+                v_scale=jnp.zeros(shape[:-1], dtype=jnp.float32),
+            )
         return KVCache(
             k=jnp.zeros(shape, dtype=dtype),
             v=jnp.zeros(shape, dtype=dtype),
             pos=jnp.zeros((), dtype=jnp.int32),
         )
+
+
+def _quantize_rows(rows: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-position int8 quantisation over the head dim.
+
+    ``rows [B, H, S, hd]`` -> (int8 codes, f32 scales ``[B, H, S]``);
+    dequantisation is ``codes * scales[..., None]``.
+    """
+    f32 = rows.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(f32), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.round(f32 / scale).astype(jnp.int8)
+    return q, scale[..., 0]
 
 
 # ---------------------------------------------------------------------------
@@ -268,19 +305,49 @@ def decoder_forward(
     k_pos = jnp.arange(ctx)[None, :]  # [1, ctx]
     self_mask = jnp.where(k_pos <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)  # [S, ctx]
 
+    quant = cache.k.dtype == jnp.int8
+
     def block(carry, layer_in):
         x = carry
-        p, ck, cv, xk, xv = layer_in
+        if quant:
+            p, ck, cv, cks, cvs, xk, xv = layer_in
+        else:
+            p, ck, cv, xk, xv = layer_in
         resid = x
         y = _layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
         q = _split_heads(_proj(y, p["attn"], "q"), h)
         k_new = _split_heads(_proj(y, p["attn"], "k"), h)
         v_new = _split_heads(_proj(y, p["attn"], "v"), h)
 
-        ck = jax.lax.dynamic_update_slice_in_dim(ck, k_new, pos0, axis=2)
-        cv = jax.lax.dynamic_update_slice_in_dim(cv, v_new, pos0, axis=2)
-
-        y = _merge_heads(_attention(q, ck, cv, self_mask[None, None]))
+        if quant:
+            # int8 cache: quantise the new rows, fold the per-position
+            # scales into the attention algebra (exact — K = codes * s_k
+            # multiplies scores post-matmul; V = codes * s_v multiplies
+            # probabilities pre-matmul). HBM reads the cache at half the
+            # bf16 bytes; the converts fuse into the matmul operands.
+            k_q, k_s = _quantize_rows(k_new)
+            v_q, v_s = _quantize_rows(v_new)
+            ck = jax.lax.dynamic_update_slice_in_dim(ck, k_q, pos0, axis=2)
+            cv = jax.lax.dynamic_update_slice_in_dim(cv, v_q, pos0, axis=2)
+            cks = jax.lax.dynamic_update_slice_in_dim(cks, k_s, pos0, axis=2)
+            cvs = jax.lax.dynamic_update_slice_in_dim(cvs, v_s, pos0, axis=2)
+            qs = (q * (q.shape[-1] ** -0.5)).astype(q.dtype)
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", qs, ck.astype(q.dtype),
+                preferred_element_type=jnp.float32,
+            ) * cks[:, :, None, :] + self_mask[None, None]
+            probs = jax.nn.softmax(logits, axis=-1)
+            y = jnp.einsum(
+                "bhqk,bhkd->bhqd",
+                (probs * cvs[:, :, None, :]).astype(q.dtype),
+                cv.astype(q.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(q.dtype)
+            y = _merge_heads(y)
+        else:
+            ck = jax.lax.dynamic_update_slice_in_dim(ck, k_new, pos0, axis=2)
+            cv = jax.lax.dynamic_update_slice_in_dim(cv, v_new, pos0, axis=2)
+            y = _merge_heads(_attention(q, ck, cv, self_mask[None, None]))
         x = resid + _proj(y, p["attn"], "o")
 
         # Cross-attention over precomputed audio K/V. When the token batch
@@ -291,30 +358,67 @@ def decoder_forward(
         resid = x
         y = _layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])
         qx = _split_heads(_proj(y, p["cross"], "q"), h)
-        groups = qx.shape[0] // xk.shape[0]
-        scale = qx.shape[-1] ** -0.25
-        if groups > 1:
-            qg = qx.reshape((xk.shape[0], groups) + qx.shape[1:])
-            logits_x = jnp.einsum(
-                "bghqd,bhkd->bghqk", qg * scale, xk * scale,
-                preferred_element_type=jnp.float32,
-            )
-            probs_x = jax.nn.softmax(logits_x, axis=-1)
-            y = jnp.einsum(
-                "bghqk,bhkd->bghqd", probs_x.astype(x.dtype), xv,
-                preferred_element_type=jnp.float32,
-            ).astype(x.dtype)
-            y = y.reshape(qx.shape)
+        if isinstance(xk, tuple):
+            # int8 cross K/V (decode loop): codes + per-position scales
+            # (see decode._quantize_cross_kv). Scales fold exactly —
+            # K-side multiplies scores post-matmul, V-side multiplies
+            # probabilities pre-matmul.
+            xk_q, xk_s = xk
+            xv_q, xv_s = xv
+            groups = qx.shape[0] // xk_q.shape[0]
+            qxs = (qx * (qx.shape[-1] ** -0.5)).astype(qx.dtype)
+            if groups > 1:
+                qg = qxs.reshape((xk_q.shape[0], groups) + qx.shape[1:])
+                logits_x = jnp.einsum(
+                    "bghqd,bhkd->bghqk", qg, xk_q.astype(qx.dtype),
+                    preferred_element_type=jnp.float32,
+                ) * xk_s[:, None, :, None, :]
+                probs_x = jax.nn.softmax(logits_x, axis=-1)
+                y = jnp.einsum(
+                    "bghqk,bhkd->bghqd",
+                    (probs_x * xv_s[:, None, :, None, :]).astype(x.dtype),
+                    xv_q.astype(x.dtype),
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+                y = y.reshape(qx.shape)
+            else:
+                logits_x = jnp.einsum(
+                    "bhqd,bhkd->bhqk", qxs, xk_q.astype(qx.dtype),
+                    preferred_element_type=jnp.float32,
+                ) * xk_s[:, :, None, :]
+                probs_x = jax.nn.softmax(logits_x, axis=-1)
+                y = jnp.einsum(
+                    "bhqk,bhkd->bhqd",
+                    (probs_x * xv_s[:, :, None, :]).astype(x.dtype),
+                    xv_q.astype(x.dtype),
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
             probs = jnp.zeros((), dtype=jnp.float32)
-        elif return_cross_probs:
-            probs = _attention_probs(qx, xk, None)
-            y = jnp.einsum(
-                "bhqk,bhkd->bhqd", probs.astype(x.dtype), xv,
-                preferred_element_type=jnp.float32,
-            ).astype(x.dtype)
         else:
-            probs = jnp.zeros((), dtype=jnp.float32)
-            y = _attention(qx, xk, xv, None)
+            groups = qx.shape[0] // xk.shape[0]
+            scale = qx.shape[-1] ** -0.25
+            if groups > 1:
+                qg = qx.reshape((xk.shape[0], groups) + qx.shape[1:])
+                logits_x = jnp.einsum(
+                    "bghqd,bhkd->bghqk", qg * scale, xk * scale,
+                    preferred_element_type=jnp.float32,
+                )
+                probs_x = jax.nn.softmax(logits_x, axis=-1)
+                y = jnp.einsum(
+                    "bghqk,bhkd->bghqd", probs_x.astype(x.dtype), xv,
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+                y = y.reshape(qx.shape)
+                probs = jnp.zeros((), dtype=jnp.float32)
+            elif return_cross_probs:
+                probs = _attention_probs(qx, xk, None)
+                y = jnp.einsum(
+                    "bhqk,bhkd->bhqd", probs.astype(x.dtype), xv,
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+            else:
+                probs = jnp.zeros((), dtype=jnp.float32)
+                y = _attention(qx, xk, xv, None)
         y = _merge_heads(y)
         x = resid + _proj(y, p["cross"], "o")
 
@@ -322,6 +426,8 @@ def decoder_forward(
         y = _layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
         y = jax.nn.gelu(_proj(y, p["mlp"], "fc1"), approximate=False)
         x = resid + _proj(y, p["mlp"], "fc2")
+        if quant:
+            return x, (ck, cv, cks, cvs, probs)
         return x, (ck, cv, probs)
 
     # NOTE: unrolling this scan for shallow decoders speeds greedy decoding
@@ -334,9 +440,18 @@ def decoder_forward(
     # buffer, which forces a full double-buffer copy of the ~210 MB cache
     # pair every decode step (profiled at +2.7 ms/step of
     # dynamic_update_slice + ~3 ms/step of copies on v5e beam-5 serving).
-    x, (new_k, new_v, cross_probs) = jax.lax.scan(
-        block, x, (dec["blocks"], cache.k, cache.v, xa_k, xa_v)
-    )
+    if quant:
+        x, (new_k, new_v, new_ks, new_vs, cross_probs) = jax.lax.scan(
+            block,
+            x,
+            (dec["blocks"], cache.k, cache.v, cache.k_scale, cache.v_scale,
+             xa_k, xa_v),
+        )
+    else:
+        x, (new_k, new_v, cross_probs) = jax.lax.scan(
+            block, x, (dec["blocks"], cache.k, cache.v, xa_k, xa_v)
+        )
+        new_ks = new_vs = None
     x = _layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
 
     if "logits_wq" in dec:  # weight-only int8 head (ops.quant)
@@ -347,7 +462,9 @@ def decoder_forward(
         logits = jnp.einsum(
             "bsd,vd->bsv", x, dec["tok_emb"], preferred_element_type=jnp.float32
         )[..., : dims.n_vocab]
-    new_cache = KVCache(k=new_k, v=new_v, pos=pos0 + s)
+    new_cache = KVCache(
+        k=new_k, v=new_v, pos=pos0 + s, k_scale=new_ks, v_scale=new_vs
+    )
     if return_cross_probs:
         return logits, new_cache, cross_probs
     return logits, new_cache

@@ -278,7 +278,12 @@ class AudioPipeline:
         timer = _StageTimer()
         run_start = time.perf_counter()
         clear_buffers()  # fresh buffer registry per file
-        begin_async_run()
+        # With checkpointing disabled, temp-dir stage WAVs (scratch the
+        # reference deletes at cleanup) defer until something reads them:
+        # their D2H downloads otherwise share one serial link with decode.
+        begin_async_run(
+            lazy_prefix=None if self.config.checkpoint_enabled else self.temp_dir
+        )
         try:
             # 1. discover
             with timer.measure("discover"):

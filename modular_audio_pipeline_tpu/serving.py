@@ -387,6 +387,7 @@ class ServingPipeline:
             timestamps=True,
             prompt_tokens=self.backend._prompt_tokens(),
             patience=t.patience,
+            kv_int8=getattr(t, "kv_cache_dtype", "int8") == "int8",
         )
         bs = self.backend.batch_size
         pending = []

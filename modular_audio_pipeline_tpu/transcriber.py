@@ -101,8 +101,10 @@ class JaxWhisperBackend:
         logprob_threshold: Optional[float] = -1.0,
         compression_ratio_threshold: Optional[float] = 2.4,
         patience: Optional[float] = None,  # beam finished-pool factor
+        kv_cache_dtype: str = "int8",  # "int8" | "bfloat16" decode KV cache
     ):
         self.patience = patience
+        self.kv_cache_dtype = kv_cache_dtype
         self.word_timestamps = word_timestamps
         self.temperature_fallback = temperature_fallback
         self.fallback_temperatures = (0.2, 0.4, 0.6, 0.8, 1.0)
@@ -276,6 +278,7 @@ class JaxWhisperBackend:
             timestamps=self.timestamps,
             prompt_tokens=self._prompt_tokens(),
             patience=self.patience,
+            kv_int8=self.kv_cache_dtype == "int8",
         )
 
     def transcribe_array(self, audio: np.ndarray, sr: int) -> Dict[str, Any]:
@@ -845,6 +848,9 @@ class WhisperTranscriber:
             config.transcription.compression_ratio_threshold
         )
         inst._backend.patience = config.transcription.patience
+        inst._backend.kv_cache_dtype = getattr(
+            config.transcription, "kv_cache_dtype", "int8"
+        )
         return inst
 
     def is_loaded(self) -> bool:
@@ -973,6 +979,9 @@ class FasterWhisperTranscriber:
             config.transcription.compression_ratio_threshold
         )
         inst._backend.patience = config.transcription.patience
+        inst._backend.kv_cache_dtype = getattr(
+            config.transcription, "kv_cache_dtype", "int8"
+        )
         return inst
 
     def is_loaded(self) -> bool:

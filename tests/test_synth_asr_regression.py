@@ -78,3 +78,26 @@ def test_beam_decode_learned_text_no_zero_length(eval_sentences):
     # full held-out WER is 0.21 (BASELINE.md); allow slack on this
     # 2-sentence sample while still requiring clearly learned text
     assert total_e / total_w < 0.5
+
+
+def test_int8_kv_cache_matches_bf16_beam_decode(eval_sentences):
+    """The int8 decode KV cache (config default) must not change beam
+    outputs on trained weights: per-position symmetric scales keep the
+    attention algebra exact up to int8 rounding, which a correct fold
+    absorbs (model.KVCache). Guards the default against silent drift."""
+    from modular_audio_pipeline_tpu.transcriber import WhisperTranscriber
+
+    path, _ = eval_sentences[0]
+    texts = {}
+    for kv in ("bfloat16", "int8"):
+        tr = WhisperTranscriber(
+            model_name="tiny",
+            language="en",
+            beam_size=5,
+            weights_path=str(BUNDLE),
+            word_timestamps=False,
+            max_decode_tokens=128,
+        )
+        tr._backend.kv_cache_dtype = kv
+        texts[kv] = tr.transcribe(path).get("text", "")
+    assert texts["int8"] == texts["bfloat16"]
