@@ -3,11 +3,13 @@
 Discovery/validation semantics match the reference ``MediaHandler``
 (``/root/reference/audio_pipeline/media_handler.py:32-304``): audio
 preferred over video, sorted order, 100-byte minimum, temp dir wiped on
-discovery. Conversion differs by design: WAV inputs are decoded natively
-(our RIFF codec + polyphase resampler — no subprocess), and only non-WAV
-containers shell out to FFmpeg when one is on PATH (decode of exotic
-containers is not first-party yet; the C++ runtime shim will grow mp3/flac
-decoders).
+discovery. Conversion differs by design — no subprocess on the common
+paths: WAV/FLAC/MP3 decode with first-party codecs (our RIFF codec +
+polyphase resampler, the C++ FLAC and MPEG-1 Layer III decoders in
+``runtime/native/``), every other container (OGG/M4A/MP4/Opus/WebM/...)
+decodes in-process against the system libavformat/libavcodec shared
+libraries (``runtime/native/av/av_shim.cc``), and an FFmpeg binary on
+PATH is only a last-resort fallback.
 """
 
 from __future__ import annotations
@@ -154,6 +156,7 @@ class MediaHandler(MediaHandlerProtocol):
             logger.info("Converted to: %s (native decode)", out_path)
             return out_path
 
+        native_error = None
         if suffix == ".flac":
             from .runtime.native_lib import native_flac_decode
 
@@ -162,14 +165,9 @@ class MediaHandler(MediaHandlerProtocol):
             except ValueError as exc:
                 # Streams the strict native decoder rejects (trailing ID3v1
                 # tags, post-frame padding, frame CRC damage) may still be
-                # decodable by FFmpeg — only fail outright with no fallback.
-                if not self._check_ffmpeg():
-                    raise MediaConversionError(
-                        f"Invalid FLAC file: {input_path}", details=str(exc)
-                    )
-                logger.warning(
-                    "Native FLAC decode failed (%s); falling back to FFmpeg", exc
-                )
+                # decodable by the libav shim / FFmpeg fallbacks below.
+                logger.warning("Native FLAC decode failed: %s", exc)
+                native_error = f"Invalid FLAC file: {exc}"
                 decoded = None
             if decoded is not None:
                 samples, sr = decoded
@@ -178,7 +176,7 @@ class MediaHandler(MediaHandlerProtocol):
                 write_wav(out_path, samples, self.sample_rate)
                 logger.info("Converted to: %s (native FLAC decode)", out_path)
                 return out_path
-            # toolchain missing: fall through to the FFmpeg path
+            # toolchain missing / stream rejected: fall through
 
         if suffix == ".mp3":
             from .runtime.native_lib import native_mp3_decode
@@ -187,17 +185,10 @@ class MediaHandler(MediaHandlerProtocol):
                 decoded = native_mp3_decode(Path(input_path).read_bytes())
             except ValueError as exc:
                 # MPEG-2/2.5 low-sample-rate files and intensity-stereo
-                # streams are out of the native decoder's scope; FFmpeg
-                # (when present) still handles them.
-                if not self._check_ffmpeg():
-                    raise MediaConversionError(
-                        f"Cannot decode MP3 file: {input_path}",
-                        details=str(exc),
-                    )
-                logger.warning(
-                    "Native MP3 decode failed (%s); falling back to FFmpeg",
-                    exc,
-                )
+                # streams are out of the native decoder's scope; the libav
+                # shim / FFmpeg fallbacks below still handle them.
+                logger.warning("Native MP3 decode failed: %s", exc)
+                native_error = f"Cannot decode MP3 file: {exc}"
                 decoded = None
             if decoded is not None:
                 samples, sr = decoded
@@ -206,15 +197,39 @@ class MediaHandler(MediaHandlerProtocol):
                 write_wav(out_path, samples, self.sample_rate)
                 logger.info("Converted to: %s (native MP3 decode)", out_path)
                 return out_path
-            # toolchain missing: fall through to the FFmpeg path
+            # toolchain missing / stream rejected: fall through
+
+        # Every other container (OGG/M4A/MP4/Opus/WebM/...) — and any stream
+        # the first-party decoders rejected — decodes in-process against the
+        # system libav shared libraries (runtime/native/av/av_shim.cc). This
+        # covers the formats the reference delegates to an FFmpeg binary
+        # (/root/reference/audio_pipeline/media_handler.py:219-233) without
+        # needing one on PATH.
+        from .runtime.native_lib import native_av_decode
+
+        try:
+            decoded = native_av_decode(input_path)
+        except ValueError as exc:
+            logger.warning("libav shim decode failed: %s", exc)
+            if native_error is None:
+                native_error = f"libav decode failed: {exc}"
+            decoded = None
+        if decoded is not None:
+            samples, sr = decoded
+            samples = samples.mean(axis=1)  # fold to mono
+            samples = resample_poly(samples, sr, self.sample_rate)
+            write_wav(out_path, samples, self.sample_rate)
+            logger.info("Converted to: %s (libav in-process decode)", out_path)
+            return out_path
 
         if not self._check_ffmpeg():
             raise MediaConversionError(
-                "Cannot decode non-WAV media",
+                native_error or "Cannot decode non-WAV media",
                 details=(
-                    f"{input_path} needs FFmpeg on PATH (first-party native "
-                    "decoders cover WAV, FLAC and MP3; other containers are "
-                    "FFmpeg-only)."
+                    f"{input_path}: first-party decoders cover WAV/FLAC/MP3, "
+                    "the libav shim covers other containers when system "
+                    "libavformat/libavcodec are present, and no FFmpeg binary "
+                    "is on PATH as a last resort."
                 ),
             )
 
@@ -260,6 +275,11 @@ class MediaHandler(MediaHandlerProtocol):
             except Exception as exc:
                 logger.warning("Failed to get media info: %s", exc)
                 return {}
+        from .runtime.native_lib import native_av_probe
+
+        info = native_av_probe(input_path)
+        if info is not None:
+            return info
         try:
             result = subprocess.run(
                 [

@@ -19,12 +19,19 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["load_native", "native_dtw_path", "have_native", "native_flac_decode"]
+__all__ = [
+    "load_native", "native_dtw_path", "have_native", "native_flac_decode",
+    "load_native_av", "have_native_av", "native_av_decode",
+    "native_av_probe", "native_av_encode",
+]
 
 _SRC_DIR = Path(__file__).parent / "native"
 _SOURCES = sorted(_SRC_DIR.glob("*.cc"))
+_AV_SOURCES = sorted((_SRC_DIR / "av").glob("*.cc"))
 _lib: Optional[ctypes.CDLL] = None
 _load_attempted = False
+_av_lib: Optional[ctypes.CDLL] = None
+_av_load_attempted = False
 
 
 def _lib_path() -> Path:
@@ -130,6 +137,171 @@ def load_native() -> Optional[ctypes.CDLL]:
 
 def have_native() -> bool:
     return load_native() is not None
+
+
+# -- libav container shim (separate .so: needs system libavformat/-codec) ------
+
+
+def _av_lib_path() -> Path:
+    return _lib_path().parent / "libmap_av.so"
+
+
+def _build_av() -> Optional[Path]:
+    out = _av_lib_path()
+    out.parent.mkdir(parents=True, exist_ok=True)
+    cmd = [
+        "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+        *[str(s) for s in _AV_SOURCES], "-o", str(out),
+        "-lavformat", "-lavcodec", "-lswresample", "-lavutil",
+    ]
+    try:
+        result = subprocess.run(cmd, capture_output=True, timeout=120)
+        if result.returncode != 0:
+            logger.info(
+                "libav shim build failed (system libav dev files absent?): %s",
+                result.stderr.decode(errors="replace")[-300:],
+            )
+            return None
+        return out
+    except (subprocess.SubprocessError, FileNotFoundError) as exc:
+        logger.info("native toolchain unavailable for libav shim (%s)", exc)
+        return None
+
+
+def load_native_av() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the libav container shim; None on failure.
+
+    Optional by design: it links the SYSTEM libavformat/libavcodec shared
+    libraries, which may be absent. Core native runtime (libmap_audio.so)
+    never depends on it.
+    """
+    global _av_lib, _av_load_attempted
+    if _av_lib is not None or _av_load_attempted:
+        return _av_lib
+    _av_load_attempted = True
+    if not _AV_SOURCES:
+        return None
+
+    path = _av_lib_path()
+    newest_src = max(s.stat().st_mtime for s in _AV_SOURCES)
+    if not path.exists() or path.stat().st_mtime < newest_src:
+        built = _build_av()
+        if built is None:
+            return None
+        path = built
+
+    try:
+        lib = ctypes.CDLL(str(path))
+        lib.av_shim_decode.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.av_shim_decode.restype = ctypes.c_int64
+        lib.av_shim_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        lib.av_shim_free.restype = None
+        lib.av_shim_probe.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p, ctypes.c_int32,
+        ]
+        lib.av_shim_probe.restype = ctypes.c_int32
+        lib.av_shim_encode.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p,
+        ]
+        lib.av_shim_encode.restype = ctypes.c_int32
+        lib.av_shim_have_encoder.argtypes = [ctypes.c_char_p]
+        lib.av_shim_have_encoder.restype = ctypes.c_int32
+        _av_lib = lib
+        logger.debug("Loaded libav container shim from %s", path)
+    except OSError as exc:
+        logger.info("libav container shim unavailable: %s", exc)
+        _av_lib = None
+    return _av_lib
+
+
+def have_native_av() -> bool:
+    return load_native_av() is not None
+
+
+_AV_DECODE_ERRORS = {
+    -1: "container open/probe failed",
+    -2: "no audio stream in container",
+    -3: "no decoder for this codec",
+    -4: "decode error",
+}
+
+
+def native_av_decode(path: str):
+    """In-process libav decode of any supported container.
+
+    Returns ``(samples [n, channels] float32, sample_rate)``; None when the
+    shim is unavailable; ValueError when libav cannot decode the file.
+    """
+    lib = load_native_av()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_float)()
+    sr = ctypes.c_int32(0)
+    ch = ctypes.c_int32(0)
+    n = lib.av_shim_decode(
+        str(path).encode(), ctypes.byref(out), ctypes.byref(sr), ctypes.byref(ch)
+    )
+    if n < 0:
+        raise ValueError(_AV_DECODE_ERRORS.get(int(n), f"libav error {n}"))
+    try:
+        flat = np.ctypeslib.as_array(out, shape=(int(n) * int(ch.value),))
+        samples = flat.reshape(-1, int(ch.value)).copy()
+    finally:
+        lib.av_shim_free(out)
+    return samples, int(sr.value)
+
+
+def native_av_probe(path: str) -> Optional[dict]:
+    """Container metadata (duration/rate/channels/codec/bit_rate) via libav."""
+    lib = load_native_av()
+    if lib is None:
+        return None
+    duration = ctypes.c_double(0.0)
+    sr = ctypes.c_int32(0)
+    ch = ctypes.c_int32(0)
+    bit_rate = ctypes.c_int64(0)
+    name = ctypes.create_string_buffer(64)
+    rc = lib.av_shim_probe(
+        str(path).encode(), ctypes.byref(duration), ctypes.byref(sr),
+        ctypes.byref(ch), ctypes.byref(bit_rate), name, 64,
+    )
+    if rc < 0:
+        return None
+    return {
+        "duration": float(duration.value),
+        "sample_rate": int(sr.value),
+        "channels": int(ch.value),
+        "codec": name.value.decode(errors="replace"),
+        "bit_rate": int(bit_rate.value),
+    }
+
+
+def native_av_encode(
+    path: str, samples: np.ndarray, sr: int, codec: str = ""
+) -> bool:
+    """Encode float32 PCM into the container implied by ``path``.
+
+    Fixture generation for the ingest tests (the pipeline itself only
+    decodes). ``samples`` is [n] mono or [n, ch] interleaved float32.
+    """
+    lib = load_native_av()
+    if lib is None:
+        return False
+    x = np.ascontiguousarray(samples, dtype=np.float32)
+    ch = 1 if x.ndim == 1 else x.shape[1]
+    rc = lib.av_shim_encode(
+        str(path).encode(),
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(x.shape[0]), ctypes.c_int32(sr), ctypes.c_int32(ch),
+        codec.encode(),
+    )
+    return rc == 0
 
 
 def native_dtw_path(cost: np.ndarray) -> Optional[np.ndarray]:
