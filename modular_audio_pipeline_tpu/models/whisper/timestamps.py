@@ -294,6 +294,16 @@ def align_words_batched(
         fulls.append(list(prefix) + [int(t) for t in tokens if int(t) != tokenizer.eot])
     s_bucket = ((max(len(f) for f in fulls) + 63) // 64) * 64
 
+    # The teacher-forced pass materialises every layer-head's attention:
+    # [L, chunk, H, S, T] f32, plus a standardised copy and the median
+    # stack. Cap the window chunk so that tensor stays ~within 2 GB —
+    # at large-v3 scale (32 layers x 20 heads) one 256-token window is
+    # ~1 GB, OOMing a 16 GB chip at the turbo-tuned chunk of 8.
+    bytes_per_window = (
+        dims.n_text_layer * dims.n_text_head * s_bucket * n_audio_frames * 4
+    )
+    chunk = max(1, min(chunk, int(2e9 // max(bytes_per_window, 1))))
+
     prefix_len = len(items[0][2])  # shared across a batch (same options)
     key = (dims, prefix_len, n_audio_frames)
     if key not in _ALIGN_DTW_CACHE:

@@ -36,6 +36,42 @@ logger = logging.getLogger(__name__)
 __all__ = ["VocalSeparator", "NoOpVocalSeparator"]
 
 
+def get_separation_backend(model: str):
+    """Resolve the separation callable for a weight-bundle name.
+
+    MaskUNet when a converted checkpoint exists for ``model``; REPET
+    (weight-free) otherwise. Shared by the stage-by-stage
+    :class:`VocalSeparator` and the device-resident serving path. The
+    callable signature is ``fn(chunk [n] float32, sr) -> (vocals,
+    accompaniment)``.
+    """
+    from .utils import find_weights_bundle
+
+    unet_dir = find_weights_bundle(f"separation-{model}")
+    if unet_dir is not None:
+        try:
+            from .models.separation.unet import MaskUNet
+            from .models.whisper.convert import load_params
+
+            net = MaskUNet(params=load_params(str(unet_dir)))
+            # Shape-check the checkpoint against the current architecture
+            # on a tiny input: a stale bundle (older width/channel layout)
+            # must degrade to REPET, not fail every chunk at runtime.
+            net.separate(np.zeros(2048, np.float32), 16000)
+            logger.info("Separation backend: MaskUNet (%s)", unet_dir)
+            return net.separate
+        except Exception as exc:
+            logger.warning(
+                "Separation checkpoint at %s unusable (%s); "
+                "falling back to REPET", unet_dir, exc,
+            )
+
+    from .models.separation.repet import repet_separate
+
+    logger.info("Separation backend: REPET (no %s checkpoint)", model)
+    return repet_separate
+
+
 class VocalSeparator(VocalSeparatorProtocol):
     """REPET-based vocal isolation with chunking + checkpoint/resume."""
 
@@ -100,36 +136,8 @@ class VocalSeparator(VocalSeparatorProtocol):
     def _separation_backend(self):
         """MaskUNet when a converted checkpoint exists for the configured
         model name; REPET (weight-free) otherwise. Cached after first use."""
-        if hasattr(self, "_backend_fn"):
-            return self._backend_fn
-
-        from .utils import find_weights_bundle
-
-        unet_dir = find_weights_bundle(f"separation-{self.model}")
-        if unet_dir is not None:
-            try:
-                from .models.separation.unet import MaskUNet
-                from .models.whisper.convert import load_params
-
-                net = MaskUNet(params=load_params(str(unet_dir)))
-                # Shape-check the checkpoint against the current
-                # architecture on a tiny input: a stale bundle (older
-                # width/channel layout) must degrade to REPET, not fail
-                # every chunk at runtime.
-                net.separate(np.zeros(2048, np.float32), 16000)
-                logger.info("Separation backend: MaskUNet (%s)", unet_dir)
-                self._backend_fn = net.separate
-                return self._backend_fn
-            except Exception as exc:
-                logger.warning(
-                    "Separation checkpoint at %s unusable (%s); "
-                    "falling back to REPET", unet_dir, exc,
-                )
-
-        from .models.separation.repet import repet_separate
-
-        logger.info("Separation backend: REPET (no %s checkpoint)", self.model)
-        self._backend_fn = repet_separate
+        if not hasattr(self, "_backend_fn"):
+            self._backend_fn = get_separation_backend(self.model)
         return self._backend_fn
 
     def _process_chunk(self, chunk: np.ndarray, sr: int, chunk_index: int) -> np.ndarray:

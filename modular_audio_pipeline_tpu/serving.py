@@ -221,6 +221,7 @@ class ServingPipeline:
         # DTW word alignment (reference default: word_timestamps=True on
         # both backends, transcriber.py:237,426)
         self.word_timestamps = self.config.transcription.word_timestamps
+        self._separation_fn = None  # resolved lazily on first separated file
 
     # -- stages -------------------------------------------------------------
 
@@ -251,6 +252,44 @@ class ServingPipeline:
                 audio = audio.astype(np.float32) * (1.0 / 32768.0)
             audio = resample_poly(audio, sr, target_sr)
             sr = target_sr
+
+        # Optional vocal separation (reference stage 4: music-contaminated
+        # inputs run Demucs first, /root/reference/audio_pipeline/
+        # separator.py). Same auto-detect heuristic and MaskUNet/REPET
+        # backends as the stage-by-stage path, applied to the in-memory
+        # array before the device upload.
+        separated = False
+        if cfg.vocal_separation.enabled:
+            audio_f = (
+                audio.astype(np.float32) * (1.0 / 32768.0)
+                if audio.dtype == np.int16
+                else audio
+            )
+            need = True
+            if cfg.vocal_separation.auto_detect:
+                from .ops.music import analyze_audio_content
+
+                analysis = analyze_audio_content(audio_f, sr)
+                need = bool(analysis.get("has_music", False)) and (
+                    analysis.get("confidence", 0.0) > 0.5
+                )
+                logger.info("Music analysis: %s", analysis)
+            if need:
+                if self._separation_fn is None:
+                    from .separator import get_separation_backend
+
+                    self._separation_fn = get_separation_backend(
+                        cfg.vocal_separation.model
+                    )
+                chunk = int(cfg.vocal_separation.chunk_minutes * 60 * sr)
+                audio = np.concatenate(
+                    [
+                        self._separation_fn(audio_f[s : s + chunk], sr)[0]
+                        for s in range(0, len(audio_f), max(chunk, 1))
+                    ]
+                ).astype(np.float32)
+                separated = True
+
         if audio.dtype != np.int16:  # int16 stays raw: half the upload bytes
             audio = audio.astype(np.float32, copy=False)
         padded, n_valid = pad_to_bucket(audio, sr)
@@ -332,6 +371,7 @@ class ServingPipeline:
             return {
                 "text": "", "segments": [], "language": self.backend.language,
                 "duration": duration, "timestamp_mappings": [],
+                "vocal_separation": separated,
             }
 
         # --- device: gather kept blocks into 30 s windows -------------------
@@ -444,6 +484,7 @@ class ServingPipeline:
             "kept_duration": kept_duration,
             "timestamp_mappings": mappings,
             "diarization": diar_turns,
+            "vocal_separation": separated,
         }
 
     # -- helpers ----------------------------------------------------------------

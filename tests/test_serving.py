@@ -456,3 +456,77 @@ def test_sectioned_dsp_matches_single_program(monkeypatch):
     assert sectioned["duration"] == ref["duration"]
     assert sectioned["timestamp_mappings"] == ref["timestamp_mappings"]
     assert sectioned["segments"] and ref["segments"]
+
+
+class TestServingSeparation:
+    """Serving-path vocal separation (reference stage 4 at serving speed):
+    same auto-detect heuristic + MaskUNet/REPET backends as the
+    stage-by-stage VocalSeparator, applied before the device upload."""
+
+    def _mix(self, seconds=40.0):
+        n = int(seconds * SR)
+        t = np.arange(n) / SR
+        loop = 0.3 * np.sin(2 * np.pi * 98 * t) + 0.2 * np.sin(2 * np.pi * 196.5 * t)
+        vox_env = (np.sin(2 * np.pi * 0.9 * t) > 0).astype(np.float32)
+        vox = (
+            0.25 * np.sin(2 * np.pi * 440 * t + 3 * np.sin(2 * np.pi * 5 * t))
+            * vox_env
+        )
+        return (loop + vox).astype(np.float32)
+
+    def test_auto_detect_runs_separation_on_music(self, monkeypatch, tmp_path):
+        monkeypatch.setenv("MAP_TPU_WEIGHTS", str(tmp_path / "none"))  # REPET
+        cfg = PipelineConfig(media_dir="/tmp")
+        cfg.transcription.model = "test-tiny"
+        cfg.transcription.weights_path = "random:0"
+        cfg.transcription.beam_size = 1
+        cfg.transcription.max_decode_tokens = 8
+        cfg.transcription.language = "en"
+        cfg.transcription.batch_size = 4
+        cfg.transcription.word_timestamps = False
+        cfg.vocal_separation.enabled = True
+        cfg.diarization.enabled = False
+
+        pipe = ServingPipeline(cfg)
+        result = pipe.process(self._mix(), SR)
+        assert result["vocal_separation"] is True
+
+    def test_speech_only_skips_separation(self, monkeypatch, tmp_path):
+        monkeypatch.setenv("MAP_TPU_WEIGHTS", str(tmp_path / "none"))
+        cfg = PipelineConfig(media_dir="/tmp")
+        cfg.transcription.model = "test-tiny"
+        cfg.transcription.weights_path = "random:0"
+        cfg.transcription.beam_size = 1
+        cfg.transcription.max_decode_tokens = 8
+        cfg.transcription.language = "en"
+        cfg.transcription.batch_size = 4
+        cfg.transcription.word_timestamps = False
+        cfg.vocal_separation.enabled = True
+        cfg.diarization.enabled = False
+
+        pipe = ServingPipeline(cfg)
+        result = pipe.process(make_audio(40.0), SR)
+        assert result["vocal_separation"] is False
+
+    def test_separated_audio_matches_stage_path_stem(self, monkeypatch, tmp_path):
+        """The serving stage must produce the same vocal stem the
+        stage-by-stage VocalSeparator writes for identical input."""
+        from modular_audio_pipeline_tpu.audio_io import read_wav, write_wav
+        from modular_audio_pipeline_tpu.separator import VocalSeparator
+
+        monkeypatch.setenv("MAP_TPU_WEIGHTS", str(tmp_path / "none"))
+        mix = self._mix(12.0)
+        path = str(tmp_path / "mix.wav")
+        write_wav(path, mix / np.abs(mix).max() * 0.8, SR)
+        mix_f, _ = read_wav(path)
+
+        sep = VocalSeparator(sample_rate=SR, temp_dir=str(tmp_path / "t"))
+        stage_out, _ = read_wav(sep.extract_vocals(path, force=True))
+
+        from modular_audio_pipeline_tpu.separator import get_separation_backend
+
+        serving_out = get_separation_backend("htdemucs")(mix_f, SR)[0]
+        m = min(len(stage_out), len(serving_out))
+        np.testing.assert_allclose(
+            serving_out[:m], stage_out[:m], atol=2.5e-4
+        )  # identical modulo the stage path's int16 WAV quantisation
