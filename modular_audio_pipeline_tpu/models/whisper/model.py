@@ -275,12 +275,20 @@ def decoder_forward(
     xa_v: jnp.ndarray,
     cache: KVCache,
     return_cross_probs: bool = False,
+    skip_logits: bool = False,
 ):
     """Run ``S`` decoder positions starting at ``cache.pos``.
 
     Writes the new self-attention K/V into the cache and returns
     ``(logits [B, S, V], new_cache[, cross_probs [L, B, H, S, T_audio]])``.
     Used with S>1 for prefill / teacher forcing and S=1 for decode steps.
+    ``skip_logits=True`` skips the vocab projection (the teacher-forced
+    alignment pass only needs the cross-attention probabilities; the
+    [B, S, V] matmul is ~270 GFLOPs + a 425 MB write it never reads) and
+    returns ``None`` logits. Cross probabilities are emitted in float16 —
+    they are post-softmax values in [0, 1] and are standardised per head
+    downstream, so f16's 10 mantissa bits are ample, and halving the
+    [L, B, H, S, T] write is the dominant cost of the alignment pass.
     """
     dec = params["decoder"]
     dtype = dec["tok_emb"].dtype
@@ -308,17 +316,23 @@ def decoder_forward(
     quant = cache.k.dtype == jnp.int8
 
     def block(carry, layer_in):
-        x = carry
         if quant:
-            p, ck, cv, cks, cvs, xk, xv = layer_in
+            x, l, ck_all, cv_all, cks_all, cvs_all = carry
+            p, xk, xv = layer_in
         else:
-            p, ck, cv, xk, xv = layer_in
+            x, l, ck_all, cv_all = carry
+            p, xk, xv = layer_in
         resid = x
         y = _layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
         q = _split_heads(_proj(y, p["attn"], "q"), h)
         k_new = _split_heads(_proj(y, p["attn"], "k"), h)
         v_new = _split_heads(_proj(y, p["attn"], "v"), h)
 
+        # The stacked [L, ...] caches ride the scan CARRY with a layer
+        # counter, not xs -> ys: a scanned cache forces XLA to copy every
+        # layer's full slice each step (profiled ~0.9 ms/step of copy +
+        # dynamic-update-slice on v5e beam-5 turbo), whereas carry buffers
+        # alias in place so only the new rows are written.
         if quant:
             # int8 cache: quantise the new rows, fold the per-position
             # scales into the attention algebra (exact — K = codes * s_k
@@ -327,10 +341,22 @@ def decoder_forward(
             # bf16 bytes; the converts fuse into the matmul operands.
             k_q, k_s = _quantize_rows(k_new)
             v_q, v_s = _quantize_rows(v_new)
-            ck = jax.lax.dynamic_update_slice_in_dim(ck, k_q, pos0, axis=2)
-            cv = jax.lax.dynamic_update_slice_in_dim(cv, v_q, pos0, axis=2)
-            cks = jax.lax.dynamic_update_slice_in_dim(cks, k_s, pos0, axis=2)
-            cvs = jax.lax.dynamic_update_slice_in_dim(cvs, v_s, pos0, axis=2)
+            ck_all = jax.lax.dynamic_update_slice(
+                ck_all, k_q[None], (l, 0, 0, pos0, 0)
+            )
+            cv_all = jax.lax.dynamic_update_slice(
+                cv_all, v_q[None], (l, 0, 0, pos0, 0)
+            )
+            cks_all = jax.lax.dynamic_update_slice(
+                cks_all, k_s[None], (l, 0, 0, pos0)
+            )
+            cvs_all = jax.lax.dynamic_update_slice(
+                cvs_all, v_s[None], (l, 0, 0, pos0)
+            )
+            ck = jax.lax.dynamic_index_in_dim(ck_all, l, 0, keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
+            cks = jax.lax.dynamic_index_in_dim(cks_all, l, 0, keepdims=False)
+            cvs = jax.lax.dynamic_index_in_dim(cvs_all, l, 0, keepdims=False)
             qs = (q * (q.shape[-1] ** -0.5)).astype(q.dtype)
             logits = jnp.einsum(
                 "bhqd,bhkd->bhqk", qs, ck.astype(q.dtype),
@@ -345,8 +371,14 @@ def decoder_forward(
             ).astype(q.dtype)
             y = _merge_heads(y)
         else:
-            ck = jax.lax.dynamic_update_slice_in_dim(ck, k_new, pos0, axis=2)
-            cv = jax.lax.dynamic_update_slice_in_dim(cv, v_new, pos0, axis=2)
+            ck_all = jax.lax.dynamic_update_slice(
+                ck_all, k_new[None], (l, 0, 0, pos0, 0)
+            )
+            cv_all = jax.lax.dynamic_update_slice(
+                cv_all, v_new[None], (l, 0, 0, pos0, 0)
+            )
+            ck = jax.lax.dynamic_index_in_dim(ck_all, l, 0, keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
             y = _merge_heads(_attention(q, ck, cv, self_mask[None, None]))
         x = resid + _proj(y, p["attn"], "o")
 
@@ -416,6 +448,7 @@ def decoder_forward(
                     "bhqk,bhkd->bhqd", probs.astype(x.dtype), xv,
                     preferred_element_type=jnp.float32,
                 ).astype(x.dtype)
+                probs = probs.astype(jnp.float16)
             else:
                 probs = jnp.zeros((), dtype=jnp.float32)
                 y = _attention(qx, xk, xv, None)
@@ -427,34 +460,41 @@ def decoder_forward(
         y = jax.nn.gelu(_proj(y, p["mlp"], "fc1"), approximate=False)
         x = resid + _proj(y, p["mlp"], "fc2")
         if quant:
-            return x, (ck, cv, cks, cvs, probs)
-        return x, (ck, cv, probs)
+            return (x, l + 1, ck_all, cv_all, cks_all, cvs_all), probs
+        return (x, l + 1, ck_all, cv_all), probs
 
     # NOTE: unrolling this scan for shallow decoders speeds greedy decoding
     # ~20% but regresses beam search ~50% (measured on v5e) — keep rolled.
-    # NOTE 2: the caches are carried THROUGH the scan (xs -> ys) with the
-    # per-layer dynamic_update_slice inside the block: XLA aliases the
-    # carried buffers so the update is in place. A round-2 experiment
-    # emitted only the new K/V rows and updated the stacked cache after
-    # the scan — the scan then both reads (xs) and post-updates the same
-    # buffer, which forces a full double-buffer copy of the ~210 MB cache
-    # pair every decode step (profiled at +2.7 ms/step of
-    # dynamic_update_slice + ~3 ms/step of copies on v5e beam-5 serving).
+    # NOTE 2 (layout history): round 2 scanned the caches as xs -> ys with
+    # the per-layer update inside the block; profiling showed XLA still
+    # copies each layer's full ys slice every step (~0.9 ms/step on v5e
+    # beam-5 turbo). Round 3 moved the stacked caches into the scan CARRY
+    # with a layer counter: carry buffers alias in place across
+    # iterations, so the update writes only the new rows and the
+    # attention reads the layer slice via dynamic_index (fuses into the
+    # attention einsums). A round-2 "carry-free" variant (emit new rows,
+    # update the stacked cache post-scan) was worse still: the cache is
+    # then both scan input and post-update target, forcing a ~420 MB
+    # double-buffer copy pair per step.
+    l0 = jnp.zeros((), jnp.int32)
     if quant:
-        x, (new_k, new_v, new_ks, new_vs, cross_probs) = jax.lax.scan(
+        carry_out, cross_probs = jax.lax.scan(
             block,
-            x,
-            (dec["blocks"], cache.k, cache.v, cache.k_scale, cache.v_scale,
-             xa_k, xa_v),
+            (x, l0, cache.k, cache.v, cache.k_scale, cache.v_scale),
+            (dec["blocks"], xa_k, xa_v),
         )
+        x, _, new_k, new_v, new_ks, new_vs = carry_out
     else:
-        x, (new_k, new_v, cross_probs) = jax.lax.scan(
-            block, x, (dec["blocks"], cache.k, cache.v, xa_k, xa_v)
+        carry_out, cross_probs = jax.lax.scan(
+            block, (x, l0, cache.k, cache.v), (dec["blocks"], xa_k, xa_v)
         )
+        x, _, new_k, new_v = carry_out
         new_ks = new_vs = None
     x = _layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
 
-    if "logits_wq" in dec:  # weight-only int8 head (ops.quant)
+    if skip_logits:
+        logits = None
+    elif "logits_wq" in dec:  # weight-only int8 head (ops.quant)
         from ...ops.quant import int8_matmul
 
         logits = int8_matmul(x, dec["logits_wq"], dec["logits_ws"])[..., : dims.n_vocab]

@@ -126,9 +126,42 @@ def _alignment_matrix_jit(dims: WhisperDims):
     return run
 
 
+# Batcher odd-even mergesort network for 8 inputs (19 compare-exchanges).
+# Used to take a width-7 running median as one fused elementwise kernel:
+# the 7 shifted views plus one +inf pad sort in registers, no 7x stacked
+# buffer ever hits HBM (jnp.median materialises the stack AND sorts it).
+_SORT8 = [
+    (0, 1), (2, 3), (4, 5), (6, 7),
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    (1, 2), (5, 6),
+    (0, 4), (1, 5), (2, 6), (3, 7),
+    (2, 4), (3, 5),
+    (1, 2), (3, 4), (5, 6),
+]
+
+
+def _median7(slices):
+    """Elementwise median of 7 equal-shape arrays (sorting network)."""
+    import jax.numpy as jnp
+
+    v = list(slices) + [jnp.full_like(slices[0], jnp.inf)]
+    for i, j in _SORT8:
+        lo = jnp.minimum(v[i], v[j])
+        hi = jnp.maximum(v[i], v[j])
+        v[i], v[j] = lo, hi
+    return v[3]  # median of the 7 reals = rank 3 of the padded 8
+
+
 def _alignment_matrix_impl(params, seq, xa_k, xa_v, dims: WhisperDims):
-    """Traced body shared by the host-transfer and fused-DTW programs."""
-    import jax
+    """Traced body shared by the host-transfer and fused-DTW programs.
+
+    Alignment heads: openai-whisper's default when a checkpoint ships no
+    explicit per-model mask — every head of the TOP HALF of the text
+    layers (``model.py set_alignment_heads`` default,
+    ``all_heads[n_text_layer // 2:] = True``). Averaging all layers (the
+    round-2 behaviour) both diverged from openai and doubled the
+    alignment pass's HBM traffic.
+    """
     import jax.numpy as jnp
 
     b = seq.shape[0]
@@ -136,25 +169,29 @@ def _alignment_matrix_impl(params, seq, xa_k, xa_v, dims: WhisperDims):
         dims, b, dtype=params["decoder"]["tok_emb"].dtype, ctx=seq.shape[1]
     )
     _, _, cross = decoder_forward(
-        params, dims, seq, xa_k, xa_v, cache, return_cross_probs=True
+        params, dims, seq, xa_k, xa_v, cache,
+        return_cross_probs=True, skip_logits=True,
+    )  # f16 [L, B, H, S, T]
+    cross = cross[dims.n_text_layer // 2 :]
+    ls, _, h, s, t = cross.shape
+    w = cross.reshape(ls * b * h, s, t)  # leading dims merge: no transpose
+
+    # per-head standardisation over time, f32 accumulators over the f16
+    # source (the converts fuse into the reductions; no f32 copy lands)
+    mean = jnp.mean(w, axis=-1, keepdims=True, dtype=jnp.float32)
+    meansq = jnp.mean(
+        jnp.square(w.astype(jnp.float32)), axis=-1, keepdims=True
     )
-    w = cross.astype(jnp.float32)  # [L, B, H, S, T]
-    l, _, h, s, t = w.shape
-    w = w.transpose(1, 0, 2, 3, 4).reshape(b * l * h, s, t)
-    mean = w.mean(-1, keepdims=True)
-    std = w.std(-1, keepdims=True) + 1e-9
-    w = (w - mean) / std
+    inv_std = 1.0 / (jnp.sqrt(jnp.maximum(meansq - mean * mean, 0.0)) + 1e-9)
+    w = ((w.astype(jnp.float32) - mean) * inv_std).astype(jnp.float16)
 
-    def medfilt(x):  # [G, S, T] width-7 median over time, edge-padded
-        padded = jnp.pad(x, ((0, 0), (0, 0), (3, 3)), mode="edge")
-        stack = jnp.stack([padded[:, :, i : i + t] for i in range(7)])
-        return jnp.median(stack, axis=0)
-
-    # chunked map: H heads per step — the 7-wide stack peaks at
-    # ~7 x H x [S, T] (vs 7 x B*L*H all at once), while a fully serial
-    # per-head map pays B*L sequential kernel launches per head group
-    w = jax.lax.map(medfilt, w.reshape(b * l, h, s, t))
-    return w.reshape(b, l * h, s, t).mean(axis=1)
+    padded = jnp.pad(w, ((0, 0), (0, 0), (3, 3)), mode="edge")
+    med = _median7([padded[:, :, i : i + t] for i in range(7)])
+    # head average straight back to [B, S, T] in f32 (mean over the
+    # selected layers x heads; leading-dim split is again layout-free)
+    return jnp.mean(
+        med.reshape(ls, b, h, s, t).astype(jnp.float32), axis=(0, 2)
+    )
 
 
 def dtw_cols_batched(cost: "jnp.ndarray", lens: "jnp.ndarray"):
@@ -271,7 +308,7 @@ def align_words_batched(
     xa_v,
     items: Sequence[Tuple[int, Sequence[int], Sequence[int]]],
     n_audio_frames: int = 1500,
-    chunk: int = 8,
+    chunk: int = 16,
 ) -> List[List[Dict[str, float]]]:
     """Align many windows' decoded tokens to audio time in one (or few)
     batched device passes.
@@ -295,12 +332,12 @@ def align_words_batched(
     s_bucket = ((max(len(f) for f in fulls) + 63) // 64) * 64
 
     # The teacher-forced pass materialises every layer-head's attention:
-    # [L, chunk, H, S, T] f32, plus a standardised copy and the median
-    # stack. Cap the window chunk so that tensor stays ~within 2 GB —
+    # [L, chunk, H, S, T] f16, plus the standardised top-half copy and
+    # its median. Cap the window chunk so the peak stays ~within 2 GB —
     # at large-v3 scale (32 layers x 20 heads) one 256-token window is
-    # ~1 GB, OOMing a 16 GB chip at the turbo-tuned chunk of 8.
+    # ~0.5 GB in f16, OOMing a 16 GB chip at the turbo-tuned chunk.
     bytes_per_window = (
-        dims.n_text_layer * dims.n_text_head * s_bucket * n_audio_frames * 4
+        dims.n_text_layer * dims.n_text_head * s_bucket * n_audio_frames * 2
     )
     chunk = max(1, min(chunk, int(2e9 // max(bytes_per_window, 1))))
 

@@ -70,6 +70,28 @@ class TestDTW:
             np.testing.assert_array_equal(cols[i, : lens[i]], expect)
 
 
+class TestMedianNetwork:
+    def test_matches_numpy_median_of_7(self, rng):
+        from modular_audio_pipeline_tpu.models.whisper.timestamps import _median7
+
+        x = rng.standard_normal((7, 5, 33)).astype(np.float32)
+        got = np.asarray(_median7([jnp.asarray(x[i]) for i in range(7)]))
+        np.testing.assert_allclose(got, np.median(x, axis=0), rtol=0, atol=0)
+
+    def test_running_median_matches_scipy_style(self, rng):
+        """Edge-padded width-7 running median == np.median over a stack of
+        the 7 shifted views (the round-2 implementation's semantics)."""
+        from modular_audio_pipeline_tpu.models.whisper.timestamps import _median7
+
+        t = 40
+        x = rng.standard_normal((3, t)).astype(np.float32)
+        padded = np.pad(x, ((0, 0), (3, 3)), mode="edge")
+        slices = [padded[:, i : i + t] for i in range(7)]
+        got = np.asarray(_median7([jnp.asarray(s) for s in slices]))
+        expect = np.median(np.stack(slices), axis=0)
+        np.testing.assert_allclose(got, expect)
+
+
 class TestAlignWords:
     def test_align_words_end_to_end(self, rng):
         dims = WHISPER_DIMS["test-tiny"]
