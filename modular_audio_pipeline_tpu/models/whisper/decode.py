@@ -80,6 +80,23 @@ def _quantize_cross_kv(xa_k, xa_v):
 _NEG_INF = -1e9
 
 
+def _exact_einsum(spec: str, *ops) -> jnp.ndarray:
+    """einsum at ``Precision.HIGHEST`` with f32 accumulation.
+
+    Every one-hot selection that carries VALUES (token ids, logprobs,
+    dequant scales) must use this: the TPU's DEFAULT matmul precision
+    rounds f32 operands to bf16, which corrupts token ids > 256
+    (measured drift up to 128 on a 51k vocab) and perturbs selected
+    logprobs by ~1e-2. HIGHEST keeps f32 operands intact, so one-hot
+    selection is exact for integers < 2^24 and bit-exact for f32 values.
+    """
+    return jnp.einsum(
+        spec, *ops,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 @dataclass(frozen=True)
 class DecodeOptions:
     """Decoding controls (mirrors the reference's TranscriptionConfig knobs)."""
@@ -104,6 +121,18 @@ class DecodeOptions:
     # traffic; per-position symmetric scales keep the attention algebra
     # exact up to int8 rounding — see model.KVCache).
     kv_int8: bool = True
+    # Ancestry-indexed beam attention: never physically permute the KV
+    # cache on beam reorder (a full cache read + write per step — the
+    # largest reorder term); track per-position ancestors instead and
+    # select rows inside self-attention (model._ancestor_attention).
+    # Token outputs are identical; this only changes the memory schedule.
+    # Off by default: the pure-XLA formulation materialises the
+    # [B, K, K, H, ctx] selection tensors in HBM and measures *slower*
+    # than the physical reorder on TPU (5.13 vs 3.40 ms/step at the
+    # 224-token turbo budget) — it only wins through the fused Pallas
+    # kernel (ops/ancestor_attention.py), which the wrapper picks on
+    # TPU backends automatically when this flag is on.
+    ancestry: bool = False
 
 
 class DecodeResult(NamedTuple):
@@ -423,10 +452,17 @@ def _beam_prefill(
     fin_lp = jnp.full((b, pool), _NEG_INF, jnp.float32)
     fin_tok = jnp.full((b, pool, max_new), eot, jnp.int32)
     fin_cnt = jnp.zeros((b,), jnp.int32)
+    # Ancestor table for ancestry-indexed attention: anc[b, k, p] = local
+    # beam row holding hypothesis k's K/V at position p. Prefill writes
+    # each row's own prompt, so it starts as the identity everywhere
+    # (positions beyond pos are masked until written).
+    anc = jnp.broadcast_to(
+        jnp.arange(k_beams, dtype=jnp.int32)[None, :, None], (b, k_beams, ctx0)
+    )
     state = (
         jnp.asarray(0, jnp.int32), cache, out_tokens, last, penult,
         jnp.zeros((bk,), jnp.int32), beam_lp,
-        logits[:, -1].astype(jnp.float32), fin_lp, fin_tok, fin_cnt,
+        logits[:, -1].astype(jnp.float32), fin_lp, fin_tok, fin_cnt, anc,
     )
     return state, no_speech_prob
 
@@ -467,9 +503,11 @@ def _beam_stage(
     timestamps = opts_static["timestamps"]
     pool = opts_static["pool_size"]  # C = max(1, round(k * patience))
 
+    ancestry = bool(opts_static.get("ancestry", False))
+
     def body(state):
         (i, cache, out_tokens, last, penult, max_ts, beam_lp, prev_logits,
-         fin_lp, fin_tok, fin_cnt) = state
+         fin_lp, fin_tok, fin_cnt, anc) = state
 
         logprobs = jax.nn.log_softmax(prev_logits, axis=-1)  # [BK, V]
         lp = jnp.where(suppress_mask[None, :] > 0, _NEG_INF, logprobs)
@@ -527,7 +565,7 @@ def _beam_stage(
             )  # [B, 2K, C] — each pool slot receives at most one candidate
             written = jnp.sum(sel, axis=1) > 0  # [B, C]
             fin_lp = jnp.where(
-                written, jnp.einsum("bec,be->bc", sel, top_lp), fin_lp
+                written, _exact_einsum("bec,be->bc", sel, top_lp), fin_lp
             )
             # Candidate sequences = their source beam's out_tokens
             # (positions >= i are still EOT). Route beam rows into pool
@@ -535,8 +573,8 @@ def _beam_stage(
             # gather: advanced indexing over the batch axis lowers to a
             # per-row DMA loop on TPU; the tiny einsums stay on the MXU.
             src_oh = jax.nn.one_hot(src_beam, k_beams, dtype=jnp.float32)
-            beam_to_slot = jnp.einsum("bec,bek->bkc", sel, src_oh)  # [B, K, C]
-            new_rows = jnp.einsum(
+            beam_to_slot = _exact_einsum("bec,bek->bkc", sel, src_oh)  # [B, K, C]
+            new_rows = _exact_einsum(
                 "bkc,bkt->bct", beam_to_slot,
                 out_tokens.reshape(b, k_beams, max_new).astype(jnp.float32),
             ).astype(jnp.int32)
@@ -561,43 +599,53 @@ def _beam_stage(
         flat_src = (live_src + jnp.arange(b)[:, None] * k_beams).reshape(bk)
         max_ts = max_ts[flat_src]
         last = last[flat_src]
-        # Cache reorder as a one-hot permutation matmul: a row gather over
-        # the batch axis lowers to a per-row while loop on TPU (profiled at
-        # ~1.4 ms/step); the [BK, BK] einsum streams the cache once
-        # through the MXU instead. out_tokens rides the same permutation
-        # (f32 one-hot matmul is exact for token ids < 2^24).
+        # out_tokens ride a one-hot permutation matmul: a row gather over
+        # the batch axis lowers to a per-row while loop on TPU; the small
+        # einsum stays on the MXU (exactness: see _exact_einsum).
         perm = jax.nn.one_hot(flat_src, bk, dtype=cache.k.dtype)  # [BK_new, BK_old]
-        out_tokens = jnp.einsum(
+        out_tokens = _exact_einsum(
             "nb,bt->nt", perm.astype(jnp.float32),
             out_tokens.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
         ).astype(jnp.int32)
-        # int8 caches permute through the MXU's int8 path (int32 accumulate
-        # is exact for one-hot row selection); bf16 caches as before. This
-        # einsum streams the whole cache, so int8 halves the step's
-        # dominant HBM term.
-        acc = jnp.int32 if cache.k.dtype == jnp.int8 else jnp.float32
-        new_ck = jnp.einsum(
-            "nb,lbhcd->lnhcd", perm, cache.k, preferred_element_type=acc
-        ).astype(cache.k.dtype)
-        new_cv = jnp.einsum(
-            "nb,lbhcd->lnhcd", perm, cache.v, preferred_element_type=acc
-        ).astype(cache.v.dtype)
-        if cache.k_scale is not None:
-            perm_f = perm.astype(jnp.float32)
-            new_ks = jnp.einsum(
-                "nb,lbhc->lnhc", perm_f, cache.k_scale,
-                preferred_element_type=jnp.float32,
+        if ancestry:
+            # Never move the cache: permute the tiny ancestor table by the
+            # same source map (exact one-hot matmul over values < K) and
+            # claim the about-to-be-written position for each row itself.
+            src_oh = jax.nn.one_hot(live_src, k_beams, dtype=jnp.float32)
+            anc = _exact_einsum(
+                "bnk,bkp->bnp", src_oh, anc.astype(jnp.float32)
+            ).astype(jnp.int32)
+            own = jnp.broadcast_to(
+                jnp.arange(k_beams, dtype=jnp.int32)[None, :, None],
+                (b, k_beams, 1),
             )
-            new_vs = jnp.einsum(
-                "nb,lbhc->lnhc", perm_f, cache.v_scale,
-                preferred_element_type=jnp.float32,
-            )
+            anc = jax.lax.dynamic_update_slice(anc, own, (0, 0, cache.pos))
         else:
-            new_ks = new_vs = None
-        cache = KVCache(
-            k=new_ck, v=new_cv, pos=cache.pos, k_scale=new_ks, v_scale=new_vs
-        )
+            # Physical cache reorder (fallback path, kept for A/B and
+            # non-ancestry callers): one-hot permutation matmuls stream
+            # the whole cache through the MXU — a full read + write of
+            # every layer's K/V per step. int8 caches permute through the
+            # MXU's int8 path (int32 accumulate is exact for one-hot row
+            # selection).
+            acc = jnp.int32 if cache.k.dtype == jnp.int8 else jnp.float32
+            new_ck = jnp.einsum(
+                "nb,lbhcd->lnhcd", perm, cache.k, preferred_element_type=acc
+            ).astype(cache.k.dtype)
+            new_cv = jnp.einsum(
+                "nb,lbhcd->lnhcd", perm, cache.v, preferred_element_type=acc
+            ).astype(cache.v.dtype)
+            if cache.k_scale is not None:
+                # _exact_einsum: DEFAULT precision would round the f32
+                # dequant scales to bf16 in the permute (~0.4% drift per
+                # reorder, compounding across steps).
+                perm_f = perm.astype(jnp.float32)
+                new_ks = _exact_einsum("nb,lbhc->lnhc", perm_f, cache.k_scale)
+                new_vs = _exact_einsum("nb,lbhc->lnhc", perm_f, cache.v_scale)
+            else:
+                new_ks = new_vs = None
+            cache = KVCache(
+                k=new_ck, v=new_cv, pos=cache.pos, k_scale=new_ks, v_scale=new_vs
+            )
 
         next_tok = next_tok.reshape(bk)
         beam_lp = live_lp.reshape(bk)
@@ -615,16 +663,19 @@ def _beam_stage(
         last_new = next_tok
 
         logits, cache = decoder_forward(
-            params, dims, next_tok[:, None], xa_k, xa_v, cache
+            params, dims, next_tok[:, None], xa_k, xa_v, cache,
+            anc_oh=jax.nn.one_hot(anc, k_beams, dtype=jnp.float32)
+            if ancestry else None,
         )
         return (
             i + 1, cache, out_tokens, last_new, penult_new, new_max_ts,
-            beam_lp, logits[:, -1].astype(jnp.float32), fin_lp, fin_tok, fin_cnt,
+            beam_lp, logits[:, -1].astype(jnp.float32), fin_lp, fin_tok,
+            fin_cnt, anc,
         )
 
     def cond(state):
         i = state[0]
-        fin_cnt = state[-1]
+        fin_cnt = state[10]
         return (i < stage_end) & ~jnp.all(fin_cnt >= pool)
 
     return jax.lax.while_loop(cond, body, state)
@@ -644,7 +695,12 @@ def _beam_stage_jit(
     params, dims, xa_k, xa_v, state, suppress_mask, blank_mask,
     opts_key, stage_end, pad_to,
 ):
-    state = state[:1] + (_pad_cache(state[1], pad_to),) + state[2:]
+    anc = state[11]
+    if anc.shape[-1] != pad_to:
+        # Grow the ancestor table with the cache; padded slots are masked
+        # by position until written, so zero ancestors are inert.
+        anc = jnp.pad(anc, ((0, 0), (0, 0), (0, pad_to - anc.shape[-1])))
+    state = state[:1] + (_pad_cache(state[1], pad_to),) + state[2:11] + (anc,)
     return _beam_stage(
         params, dims, xa_k, xa_v, state, suppress_mask, blank_mask,
         dict(opts_key), stage_end,
@@ -745,6 +801,7 @@ def decode_windows_async(
                     1, int(round(opts.beam_size * (opts.patience or 1.0)))
                 ),
                 "kv_int8": opts.kv_int8,
+                "ancestry": opts.ancestry,
             }.items()
         )
     )

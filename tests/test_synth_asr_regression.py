@@ -80,6 +80,50 @@ def test_beam_decode_learned_text_no_zero_length(eval_sentences):
     assert total_e / total_w < 0.5
 
 
+def test_ancestry_attention_matches_physical_reorder(eval_sentences):
+    """Ancestry-indexed beam attention (the default — the KV cache is
+    never physically permuted on beam reorder; model._ancestor_attention
+    selects rows via a per-position ancestor table) must be token-exact
+    against the physical-reorder fallback on trained weights."""
+    import jax.numpy as jnp
+
+    from modular_audio_pipeline_tpu.models.whisper.config import WHISPER_DIMS
+    from modular_audio_pipeline_tpu.models.whisper.convert import load_params
+    from modular_audio_pipeline_tpu.models.whisper.decode import (
+        DecodeOptions,
+        decode_windows,
+    )
+    from modular_audio_pipeline_tpu.models.whisper.tokenizer import (
+        load_tokenizer,
+    )
+    from modular_audio_pipeline_tpu.ops.mel import log_mel
+    from modular_audio_pipeline_tpu.audio_io import read_wav
+    from modular_audio_pipeline_tpu.training.synth_asr import SR
+
+    params = load_params(str(BUNDLE))
+    dims = WHISPER_DIMS["tiny"]
+    tok = load_tokenizer(str(BUNDLE), dims.n_vocab)
+
+    mels = []
+    for path, _ in eval_sentences:
+        wav, _sr = read_wav(path)
+        n = SR * 30
+        wav = np.pad(wav[:n], (0, max(0, n - len(wav))))
+        mels.append(np.asarray(
+            log_mel(jnp.asarray(wav, jnp.float32), n_mels=dims.n_mels)
+        ))
+    mel = jnp.asarray(np.stack(mels))
+
+    outs = {}
+    for anc in (False, True):
+        opts = DecodeOptions(
+            language="en", beam_size=5, max_tokens=128,
+            kv_int8=True, ancestry=anc,
+        )
+        outs[anc] = decode_windows(params, dims, tok, mel, opts)
+    np.testing.assert_array_equal(outs[True].tokens, outs[False].tokens)
+
+
 def test_int8_kv_cache_matches_bf16_beam_decode(eval_sentences):
     """The int8 decode KV cache (config default) must not change beam
     outputs on trained weights: per-position symmetric scales keep the

@@ -140,6 +140,39 @@ class TestDecodeGrammar:
             if toks:
                 assert tok.is_timestamp(toks[0])
 
+    def test_exact_einsum_preserves_large_token_ids(self):
+        """The beam loop permutes out_tokens (and inserts finished-pool
+        rows) via one-hot matmuls. At the backend's DEFAULT matmul
+        precision, f32 operands are rounded to bf16 on TPU — token ids
+        > 256 drift by up to 128 on a 51k vocab (a real shipped bug,
+        caught round 3). _exact_einsum pins Precision.HIGHEST; this test
+        guards it with ids across the full whisper vocab on whatever
+        backend the suite runs on."""
+        from modular_audio_pipeline_tpu.models.whisper.decode import (
+            _exact_einsum,
+        )
+
+        rng = np.random.default_rng(7)
+        ids = rng.integers(0, 51865, size=(80, 224)).astype(np.int32)
+        src = rng.integers(0, 80, size=80)
+        oh = jax.nn.one_hot(jnp.asarray(src), 80, dtype=jnp.float32)
+
+        @jax.jit
+        def permute(oh, vals):
+            return _exact_einsum("nb,bt->nt", oh, vals).astype(jnp.int32)
+
+        out = np.asarray(permute(oh, jnp.asarray(ids, jnp.float32)))
+        np.testing.assert_array_equal(out, ids[src])
+
+        # logprob-valued selection must be bit-exact too
+        vals = rng.standard_normal((80, 224)).astype(np.float32) * 20.0
+        out_f = np.asarray(
+            jax.jit(lambda o, v: _exact_einsum("nb,bt->nt", o, v))(
+                oh, jnp.asarray(vals)
+            )
+        )
+        np.testing.assert_array_equal(out_f, vals[src])
+
     def test_timestamp_monotonicity_matches_openai_rules(self):
         # openai ApplyTimestampRules: after a completed pair, suppress
         # <= last timestamp; right after a single timestamp, its pair end

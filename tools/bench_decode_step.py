@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--beam", type=int, default=5)
     ap.add_argument("--no-int8", action="store_true")
+    ap.add_argument("--no-ancestry", action="store_true",
+                    help="physically permute the KV cache on beam reorder "
+                         "(the pre-ancestry baseline path)")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="write a jax.profiler trace of one run to DIR")
     args = ap.parse_args()
@@ -73,6 +76,7 @@ def main() -> None:
         max_tokens=args.tokens,
         timestamps=True,
         kv_int8=not args.no_int8,
+        ancestry=not args.no_ancestry,
     )
 
     def run_once() -> float:
@@ -105,7 +109,8 @@ def main() -> None:
 
     print(json.dumps({
         "metric": f"beam_decode_{args.model}_bk{args.batch * args.beam}_"
-                  f"{args.tokens}tok" + ("" if args.no_int8 else "_int8kv"),
+                  f"{args.tokens}tok" + ("" if args.no_int8 else "_int8kv")
+                  + ("" if args.no_ancestry else "_anc"),
         "wall_s": round(med, 3),
         "ms_per_step": round(med / args.tokens * 1000, 3),
     }))
