@@ -126,13 +126,11 @@ class DecodeOptions:
     # largest reorder term); track per-position ancestors instead and
     # select rows inside self-attention (model._ancestor_attention).
     # Token outputs are identical; this only changes the memory schedule.
-    # Off by default: the pure-XLA formulation materialises the
-    # [B, K, K, H, ctx] selection tensors in HBM and measures *slower*
-    # than the physical reorder on TPU (5.13 vs 3.40 ms/step at the
-    # 224-token turbo budget) — it only wins through the fused Pallas
-    # kernel (ops/ancestor_attention.py), which the wrapper picks on
-    # TPU backends automatically when this flag is on.
-    ancestry: bool = False
+    # On TPU this routes to the fused Pallas kernel
+    # (ops/ancestor_attention.py): 3.42 -> 2.78 ms/step at the 224-token
+    # turbo budget (the pure-XLA formulation used off-TPU is correct but
+    # would be slower than the physical reorder — kernel-or-nothing).
+    ancestry: bool = True
 
 
 class DecodeResult(NamedTuple):
@@ -664,8 +662,7 @@ def _beam_stage(
 
         logits, cache = decoder_forward(
             params, dims, next_tok[:, None], xa_k, xa_v, cache,
-            anc_oh=jax.nn.one_hot(anc, k_beams, dtype=jnp.float32)
-            if ancestry else None,
+            anc=anc if ancestry else None,
         )
         return (
             i + 1, cache, out_tokens, last_new, penult_new, new_max_ts,

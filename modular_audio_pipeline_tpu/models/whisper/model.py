@@ -118,52 +118,10 @@ def _attention(
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _ancestor_attention(
-    q_scaled: jnp.ndarray,  # [BK, H, 1, hd], already carries the full qk scale
-    ck: jnp.ndarray,  # [BK, H, ctx, hd] (bf16 or int8 codes)
-    cv: jnp.ndarray,
-    k_scale: Optional[jnp.ndarray],  # [BK, H, ctx] int8 dequant scales, or None
-    v_scale: Optional[jnp.ndarray],
-    anc_oh: jnp.ndarray,  # [BW, K, ctx, K] one-hot ancestor table
-    mask_row: jnp.ndarray,  # [ctx] additive position mask
-) -> jnp.ndarray:
-    """Beam self-attention over an UN-permuted KV cache.
-
-    Hypothesis ``k`` of window ``b`` owns, at position ``p``, the K/V row
-    written by beam slot ``anc[b, k, p]`` — the cache is never physically
-    reordered. Scores are computed against all K sibling rows and the
-    one-hot contracts the right row per position; the selection einsums
-    fuse into the attention matmuls, so the only HBM traffic is the one
-    cache read attention already pays. One-hot selection is exact (sums
-    one term with coefficient 1 plus true zeros).
-    """
-    bw, kq, ctx, _ = anc_oh.shape
-    h, hd = ck.shape[1], ck.shape[3]
-    qg = q_scaled[:, :, 0].reshape(bw, kq, h, hd)
-    ckg = ck.astype(qg.dtype).reshape(bw, kq, h, ctx, hd)
-    scores = jnp.einsum(
-        "bkhd,bjhpd->bkjhp", qg, ckg, preferred_element_type=jnp.float32
-    )
-    if k_scale is not None:
-        scores = scores * k_scale.reshape(bw, 1, kq, h, ctx)
-    # Selection as an elementwise multiply + reduce, NOT a matmul: the
-    # TPU's DEFAULT matmul precision would round the f32 scores to bf16
-    # (measured ~1e-2 drift), breaking token-exact equivalence with the
-    # physically reordered path. The J axis is tiny (K beams) and the
-    # reduce fuses with the mask add.
-    anc_sel = anc_oh.transpose(0, 1, 3, 2)  # [bw, k, j, p]
-    logits = jnp.sum(scores * anc_sel[:, :, :, None, :], axis=2)  # [bw, k, h, p]
-    logits = logits + mask_row[None, None, None]
-    probs = jax.nn.softmax(logits, axis=-1)  # [bw, k, h, p]
-    pj = probs[:, :, None] * anc_sel[:, :, :, None, :]  # [bw, k, j, h, p]
-    if v_scale is not None:
-        pj = pj * v_scale.reshape(bw, 1, kq, h, ctx)
-    cvg = cv.astype(q_scaled.dtype).reshape(bw, kq, h, ctx, hd)
-    y = jnp.einsum(
-        "bkjhp,bjhpd->bkhd", pj.astype(q_scaled.dtype), cvg,
-        preferred_element_type=jnp.float32,
-    ).astype(q_scaled.dtype)
-    return y.reshape(bw * kq, h, 1, hd)
+# Ancestry-indexed beam self-attention over an un-permuted KV cache:
+# fused Pallas kernel on TPU, pure-XLA oracle elsewhere. See
+# ops/ancestor_attention.py for the memory-schedule rationale.
+from ...ops.ancestor_attention import ancestor_attention as _ancestor_attention
 
 
 def _attention_probs(q, k, mask):
@@ -324,7 +282,7 @@ def decoder_forward(
     cache: KVCache,
     return_cross_probs: bool = False,
     skip_logits: bool = False,
-    anc_oh: Optional[jnp.ndarray] = None,
+    anc: Optional[jnp.ndarray] = None,
 ):
     """Run ``S`` decoder positions starting at ``cache.pos``.
 
@@ -339,15 +297,15 @@ def decoder_forward(
     downstream, so f16's 10 mantissa bits are ample, and halving the
     [L, B, H, S, T] write is the dominant cost of the alignment pass.
 
-    ``anc_oh`` enables ancestry-indexed beam attention (decode steps only,
-    S == 1): ``[BW, K, ctx, K]`` one-hot over each window's K beams, where
-    ``anc_oh[b, k, p, j] == 1`` means hypothesis ``k``'s token at cache
-    position ``p`` physically lives in beam row ``j``. The beam search
-    then never permutes the cache (the largest per-step HBM term — a full
-    read + write of every layer's K/V); instead self-attention computes
-    scores against all K sibling rows and contracts with the one-hot,
-    which stays fused into the attention einsums. Extra MACs are K× on
-    the QK/PV contractions — trivial next to the saved cache traffic.
+    ``anc`` enables ancestry-indexed beam attention (decode steps only,
+    S == 1): an int32 ``[BW, K, ctx]`` table where ``anc[b, k, p] == j``
+    means hypothesis ``k``'s token at cache position ``p`` physically
+    lives in beam row ``j``. The beam search then never permutes the
+    cache (the largest per-step HBM term — a full read + write of every
+    layer's K/V); instead self-attention selects ancestor rows in place
+    (ops/ancestor_attention.py — fused Pallas kernel on TPU). Extra MACs
+    are K× on the QK/PV contractions — trivial next to the saved cache
+    traffic.
     """
     dec = params["decoder"]
     dtype = dec["tok_emb"].dtype
@@ -417,9 +375,15 @@ def decoder_forward(
             cks = jax.lax.dynamic_index_in_dim(cks_all, l, 0, keepdims=False)
             cvs = jax.lax.dynamic_index_in_dim(cvs_all, l, 0, keepdims=False)
             qs = (q * (q.shape[-1] ** -0.5)).astype(q.dtype)
-            if anc_oh is not None:
+            if anc is not None:
+                # Pass the STACKED caches + layer counter: the Pallas
+                # kernel indexes layer l via scalar prefetch, so no
+                # per-layer slice is ever materialised for it (a
+                # pallas_call operand cannot fuse a slice away — XLA
+                # copies the full layer otherwise, ~0.5 ms/step).
                 y = _ancestor_attention(
-                    qs, ck, cv, cks, cvs, anc_oh, self_mask[0]
+                    qs, ck_all, cv_all, cks_all, cvs_all, l, anc,
+                    self_mask[0]
                 )
             else:
                 logits = jnp.einsum(
@@ -443,12 +407,15 @@ def decoder_forward(
             )
             ck = jax.lax.dynamic_index_in_dim(ck_all, l, 0, keepdims=False)
             cv = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
-            if anc_oh is not None:
-                # hd is a power of two for every whisper size, so folding
-                # both hd^-0.25 factors into q is a lossless bf16 scale.
+            if anc is not None:
+                # 64^-0.5 = 1/8 folds exactly into q in bf16 (the split
+                # hd^-0.25 scaling would round on both operands).
                 qs = (q * (q.shape[-1] ** -0.5)).astype(q.dtype)
                 y = _merge_heads(
-                    _ancestor_attention(qs, ck, cv, None, None, anc_oh, self_mask[0])
+                    _ancestor_attention(
+                        qs, ck_all, cv_all, None, None, l, anc,
+                        self_mask[0]
+                    )
                 )
             else:
                 y = _merge_heads(_attention(q, ck, cv, self_mask[None, None]))
