@@ -105,6 +105,10 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--configs", type=int, nargs="+", default=[1, 2, 4])
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--compute-type", default=None,
+                    help="override transcription.compute_type (e.g. int8 "
+                         "for weight-only quantization — the same tier "
+                         "faster-whisper drops to without float16)")
     args = ap.parse_args()
 
     import jax
@@ -117,6 +121,9 @@ def main() -> None:
 
     for config_id in args.configs:
         cfg, audio, label = build(config_id)
+        if args.compute_type:
+            cfg.transcription.compute_type = args.compute_type
+            label += f"_{args.compute_type}"
         seconds = len(audio) / SR
         log(f"config {config_id} ({label}): {seconds:.0f}s audio, "
             f"model={cfg.transcription.model}")
