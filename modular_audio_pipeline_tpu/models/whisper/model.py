@@ -358,34 +358,40 @@ def decoder_forward(
             # bf16 bytes; the converts fuse into the matmul operands.
             k_q, k_s = _quantize_rows(k_new)
             v_q, v_s = _quantize_rows(v_new)
-            ck_all = jax.lax.dynamic_update_slice(
-                ck_all, k_q[None], (l, 0, 0, pos0, 0)
-            )
-            cv_all = jax.lax.dynamic_update_slice(
-                cv_all, v_q[None], (l, 0, 0, pos0, 0)
-            )
-            cks_all = jax.lax.dynamic_update_slice(
-                cks_all, k_s[None], (l, 0, 0, pos0)
-            )
-            cvs_all = jax.lax.dynamic_update_slice(
-                cvs_all, v_s[None], (l, 0, 0, pos0)
-            )
-            ck = jax.lax.dynamic_index_in_dim(ck_all, l, 0, keepdims=False)
-            cv = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
-            cks = jax.lax.dynamic_index_in_dim(cks_all, l, 0, keepdims=False)
-            cvs = jax.lax.dynamic_index_in_dim(cvs_all, l, 0, keepdims=False)
             qs = (q * (q.shape[-1] ** -0.5)).astype(q.dtype)
             if anc is not None:
-                # Pass the STACKED caches + layer counter: the Pallas
-                # kernel indexes layer l via scalar prefetch, so no
-                # per-layer slice is ever materialised for it (a
-                # pallas_call operand cannot fuse a slice away — XLA
-                # copies the full layer otherwise, ~0.5 ms/step).
-                y = _ancestor_attention(
+                # Pass the STACKED, PRE-update caches + layer counter:
+                # the Pallas kernel indexes layer l via scalar prefetch
+                # (no per-layer slice is ever materialised — a
+                # pallas_call operand cannot fuse a slice away; XLA
+                # copies the full layer otherwise), patches this step's
+                # rows in from k_q/v_q at pos0, and writes them into the
+                # cache itself via input_output_aliases (a DUS whose
+                # buffer also feeds a custom call loses XLA's in-place
+                # fusion and copies the whole layer, ~0.3 ms/step).
+                y, ck_all, cv_all, cks_all, cvs_all = _ancestor_attention(
                     qs, ck_all, cv_all, cks_all, cvs_all, l, anc,
-                    self_mask[0]
+                    self_mask[0],
+                    new_k=k_q, new_v=v_q,
+                    new_ks=k_s, new_vs=v_s, pos=pos0,
                 )
             else:
+                ck_all = jax.lax.dynamic_update_slice(
+                    ck_all, k_q[None], (l, 0, 0, pos0, 0)
+                )
+                cv_all = jax.lax.dynamic_update_slice(
+                    cv_all, v_q[None], (l, 0, 0, pos0, 0)
+                )
+                cks_all = jax.lax.dynamic_update_slice(
+                    cks_all, k_s[None], (l, 0, 0, pos0)
+                )
+                cvs_all = jax.lax.dynamic_update_slice(
+                    cvs_all, v_s[None], (l, 0, 0, pos0)
+                )
+                ck = jax.lax.dynamic_index_in_dim(ck_all, l, 0, keepdims=False)
+                cv = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
+                cks = jax.lax.dynamic_index_in_dim(cks_all, l, 0, keepdims=False)
+                cvs = jax.lax.dynamic_index_in_dim(cvs_all, l, 0, keepdims=False)
                 logits = jnp.einsum(
                     "bhqd,bhkd->bhqk", qs, ck.astype(q.dtype),
                     preferred_element_type=jnp.float32,
@@ -399,25 +405,27 @@ def decoder_forward(
                 ).astype(q.dtype)
             y = _merge_heads(y)
         else:
-            ck_all = jax.lax.dynamic_update_slice(
-                ck_all, k_new[None], (l, 0, 0, pos0, 0)
-            )
-            cv_all = jax.lax.dynamic_update_slice(
-                cv_all, v_new[None], (l, 0, 0, pos0, 0)
-            )
-            ck = jax.lax.dynamic_index_in_dim(ck_all, l, 0, keepdims=False)
-            cv = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
             if anc is not None:
                 # 64^-0.5 = 1/8 folds exactly into q in bf16 (the split
                 # hd^-0.25 scaling would round on both operands).
+                # Pre-update cache + in-kernel row writes as in the int8
+                # branch above.
                 qs = (q * (q.shape[-1] ** -0.5)).astype(q.dtype)
-                y = _merge_heads(
-                    _ancestor_attention(
-                        qs, ck_all, cv_all, None, None, l, anc,
-                        self_mask[0]
-                    )
+                y, ck_all, cv_all, _, _ = _ancestor_attention(
+                    qs, ck_all, cv_all, None, None, l, anc,
+                    self_mask[0],
+                    new_k=k_new, new_v=v_new, pos=pos0,
                 )
+                y = _merge_heads(y)
             else:
+                ck_all = jax.lax.dynamic_update_slice(
+                    ck_all, k_new[None], (l, 0, 0, pos0, 0)
+                )
+                cv_all = jax.lax.dynamic_update_slice(
+                    cv_all, v_new[None], (l, 0, 0, pos0, 0)
+                )
+                ck = jax.lax.dynamic_index_in_dim(ck_all, l, 0, keepdims=False)
+                cv = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
                 y = _merge_heads(_attention(q, ck, cv, self_mask[None, None]))
         x = resid + _proj(y, p["attn"], "o")
 
