@@ -120,6 +120,25 @@ class MaskUNet:
         music = istft(music_spec, n_fft=_N_FFT, hop=_HOP, length=len(audio))
         return np.asarray(vocals, np.float32), np.asarray(music, np.float32)
 
+    def separate_device(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Device-resident vocal stem: [n] f32 on device -> [n] f32 on
+        device, one fused jitted program (STFT -> mask -> iSTFT).
+
+        The serving path uses this so the audio never round-trips the
+        host for separation (the host `separate` costs two ~30 MB
+        transfers per 8-min file on a tunneled chip); numerics are the
+        same masked resynthesis as `separate` over the same chunk."""
+        return _separate_device_jit(self.params, x)
+
+
+@jax.jit
+def _separate_device_jit(params, x: jnp.ndarray) -> jnp.ndarray:
+    spec = stft(x, n_fft=_N_FFT, hop=_HOP)
+    mag = jnp.abs(spec)
+    mask = MaskUNet.apply(params, mag[None])[0]
+    return istft(spec * mask.astype(spec.dtype), n_fft=_N_FFT, hop=_HOP,
+                 length=x.shape[0])
+
 
 def masking_loss(params, mix_mag: jnp.ndarray, vocal_mag: jnp.ndarray) -> jnp.ndarray:
     """L1 between masked mixture and target vocal magnitudes (trainable

@@ -72,6 +72,36 @@ def get_separation_backend(model: str):
     return repet_separate
 
 
+def get_device_separation(model: str):
+    """Device-resident separation backend for the serving path, or None.
+
+    Returns a loaded :class:`MaskUNet` when a converted checkpoint
+    exists for ``model`` — serving then separates on-device (no audio
+    round-trip). REPET has no device path (its period search needs the
+    host beat spectrum), so None falls serving back to the host
+    callable from :func:`get_separation_backend`.
+    """
+    from .utils import find_weights_bundle
+
+    unet_dir = find_weights_bundle(f"separation-{model}")
+    if unet_dir is None:
+        return None
+    try:
+        from .models.separation.unet import MaskUNet
+        from .models.whisper.convert import load_params
+
+        net = MaskUNet(params=load_params(str(unet_dir)))
+        net.separate(np.zeros(2048, np.float32), 16000)  # shape-check
+        logger.info("Device separation backend: MaskUNet (%s)", unet_dir)
+        return net
+    except Exception as exc:
+        logger.warning(
+            "Separation checkpoint at %s unusable for device path (%s)",
+            unet_dir, exc,
+        )
+        return None
+
+
 class VocalSeparator(VocalSeparatorProtocol):
     """REPET-based vocal isolation with chunking + checkpoint/resume."""
 

@@ -45,6 +45,8 @@ logger = logging.getLogger(__name__)
 
 __all__ = ["ServingPipeline"]
 
+_NO_DEVICE_SEPARATION = object()  # sentinel: bundle probed, none usable
+
 _BLOCK = 16  # samples per gather block (1 ms @ 16 kHz)
 _VAD_FRAME_MS = 32  # 512 samples @ 16 kHz — Silero's window
 _DSP_SECTION_S = 600  # max samples per DSP program (hour-long graphs OOM)
@@ -222,6 +224,7 @@ class ServingPipeline:
         # both backends, transcriber.py:237,426)
         self.word_timestamps = self.config.transcription.word_timestamps
         self._separation_fn = None  # resolved lazily on first separated file
+        self._separation_net = None  # device MaskUNet (serving fast path)
 
     # -- stages -------------------------------------------------------------
 
@@ -259,6 +262,7 @@ class ServingPipeline:
         # backends as the stage-by-stage path, applied to the in-memory
         # array before the device upload.
         separated = False
+        separate_on_device = False
         if cfg.vocal_separation.enabled:
             audio_f = (
                 audio.astype(np.float32) * (1.0 / 32768.0)
@@ -275,19 +279,33 @@ class ServingPipeline:
                 )
                 logger.info("Music analysis: %s", analysis)
             if need:
-                if self._separation_fn is None:
-                    from .separator import get_separation_backend
+                # Prefer the device-resident MaskUNet: the audio then
+                # never leaves the chip for separation (the host path
+                # costs two ~30 MB transfers per 8-min file on a
+                # tunneled link). REPET (no checkpoint) stays on host.
+                if self._separation_net is None:
+                    from .separator import get_device_separation
 
-                    self._separation_fn = get_separation_backend(
+                    self._separation_net = get_device_separation(
                         cfg.vocal_separation.model
-                    )
-                chunk = int(cfg.vocal_separation.chunk_minutes * 60 * sr)
-                audio = np.concatenate(
-                    [
-                        self._separation_fn(audio_f[s : s + chunk], sr)[0]
-                        for s in range(0, len(audio_f), max(chunk, 1))
-                    ]
-                ).astype(np.float32)
+                    ) or _NO_DEVICE_SEPARATION
+                if self._separation_net is not _NO_DEVICE_SEPARATION:
+                    separate_on_device = True
+                    audio = audio_f  # separation outputs f32 windows
+                else:
+                    if self._separation_fn is None:
+                        from .separator import get_separation_backend
+
+                        self._separation_fn = get_separation_backend(
+                            cfg.vocal_separation.model
+                        )
+                    chunk = int(cfg.vocal_separation.chunk_minutes * 60 * sr)
+                    audio = np.concatenate(
+                        [
+                            self._separation_fn(audio_f[s : s + chunk], sr)[0]
+                            for s in range(0, len(audio_f), max(chunk, 1))
+                        ]
+                    ).astype(np.float32)
                 separated = True
 
         if audio.dtype != np.int16:  # int16 stays raw: half the upload bytes
@@ -299,6 +317,22 @@ class ServingPipeline:
             if dev_audio.dtype == jnp.float32
             else dev_audio.astype(jnp.float32) * (1.0 / 32768.0)
         )
+
+        if separate_on_device:
+            # Same 5-min chunk grid as the host path (compiled-shape
+            # stability: every chunk runs one fixed-shape program; the
+            # final partial chunk is zero-padded, and masked resynthesis
+            # of zeros is zeros).
+            chunk = int(cfg.vocal_separation.chunk_minutes * 60 * sr)
+            chunk = max(chunk, 1)
+            pieces = []
+            for s0 in range(0, len(padded), chunk):
+                seg = dev_f32[s0 : s0 + chunk]
+                if seg.shape[0] < chunk:
+                    seg = jnp.pad(seg, (0, chunk - seg.shape[0]))
+                pieces.append(self._separation_net.separate_device(seg))
+            dev_f32 = jnp.concatenate(pieces)[: len(padded)]
+            dev_audio = dev_f32
 
         # noise profile position (device features, host percentile decision)
         noise_start = 0

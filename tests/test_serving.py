@@ -530,3 +530,50 @@ class TestServingSeparation:
         np.testing.assert_allclose(
             serving_out[:m], stage_out[:m], atol=2.5e-4
         )  # identical modulo the stage path's int16 WAV quantisation
+
+    def test_device_separation_matches_host_masknet(self):
+        """serving's on-device MaskUNet stem == the host `separate`
+        stem for the same chunk (one fused program vs host STFT round
+        trip). Uses the shipped separation-htdemucs bundle."""
+        import jax.numpy as jnp
+
+        from modular_audio_pipeline_tpu.separator import get_device_separation
+
+        net = get_device_separation("htdemucs")
+        if net is None:
+            import pytest
+
+            pytest.skip("no separation checkpoint shipped")
+        mix = self._mix(9.0)
+        host_vocals, _ = net.separate(mix, SR)
+        dev_vocals = np.asarray(net.separate_device(jnp.asarray(mix)))
+        np.testing.assert_allclose(dev_vocals, host_vocals, atol=1e-5)
+
+    def test_serving_uses_device_path_with_checkpoint(self, monkeypatch):
+        """With a usable MaskUNet bundle, serving must separate on
+        device: the host backend resolver is never called."""
+        cfg = PipelineConfig(media_dir="/tmp")
+        cfg.transcription.model = "test-tiny"
+        cfg.transcription.weights_path = "random:0"
+        cfg.transcription.beam_size = 1
+        cfg.transcription.max_decode_tokens = 8
+        cfg.transcription.language = "en"
+        cfg.transcription.batch_size = 4
+        cfg.transcription.word_timestamps = False
+        cfg.vocal_separation.enabled = True
+        cfg.diarization.enabled = False
+
+        import modular_audio_pipeline_tpu.separator as sep_mod
+
+        def boom(model):
+            raise AssertionError("host separation path used")
+
+        monkeypatch.setattr(sep_mod, "get_separation_backend", boom)
+        pipe = ServingPipeline(cfg)
+        if sep_mod.get_device_separation("htdemucs") is None:
+            import pytest
+
+            pytest.skip("no separation checkpoint shipped")
+        result = pipe.process(self._mix(35.0), SR)
+        assert result["vocal_separation"] is True
+        assert pipe._separation_fn is None  # host backend never resolved
