@@ -5,10 +5,11 @@ factor (audio-hours per wall-hour per chip) with large-v3-turbo-shaped
 Whisper + diarization. The timed region covers the complete compute path
 of AudioPipeline.run (SURVEY.md §3.1 steps 3-6):
 
-  DSP preprocess (denoise -> peak -> LUFS -> silence) -> energy VAD ->
-  mel -> encoder -> beam-5 KV-cached decode at whisper's full 224-token
-  budget per 30 s window -> no-speech gate -> cross-attention DTW word
-  timestamps -> diarization embeddings + clustering.
+  DSP preprocess (denoise -> peak -> LUFS -> silence) -> trained ConvVAD
+  (the shipped weights/vad-silero bundle, on device) -> mel -> encoder ->
+  beam-5 KV-cached decode at whisper's full 224-token budget per 30 s
+  window -> no-speech gate -> cross-attention DTW word timestamps ->
+  trained diarization (segmentation + embeddings + calibrated AHC).
 
 Production-shape notes: random weights (zero-egress environment — shapes
 and compute are identical to converted checkpoints) never emit EOT, so
@@ -21,9 +22,14 @@ weights; its steady-state cost on real weights is bounded by the failing
 fraction (typically a few %).
 
 One warmup pass excludes XLA compiles. Prints exactly one JSON line:
-  {"metric": ..., "value": RTF, "unit": ..., "vs_baseline": RTF/50}
+  {"metric": ..., "value": RTF, "unit": ..., "vs_baseline": RTF/50, ...}
 (baseline = the 50x-realtime-per-chip target; the reference publishes no
-numbers of its own — BASELINE.md).
+numbers of its own — BASELINE.md). The extra keys are link-independent
+device metrics (VERDICT r3 #6): the tunneled TPU link in this environment
+varies 10x between sessions, so alongside the wall-clock RTF the line
+carries ms/decode-step and decode tokens/s measured with a single
+dispatch+fetch pair (2 link crossings amortised over 224 steps), plus the
+raw per-run wall times so outliers are visible across rounds.
 """
 
 from __future__ import annotations
@@ -137,6 +143,51 @@ def main() -> None:
 
     wall = float(np.median(times))
     rtf = audio_seconds / wall
+
+    # Link-independent device metrics (VERDICT r3 #6): beam-decode step
+    # time at the production shape, measured with one dispatch + one
+    # result fetch so relay health contributes 2 crossings per 224 steps
+    # instead of ~10 per pipeline run.
+    import jax.numpy as jnp
+
+    from modular_audio_pipeline_tpu.models.whisper.decode import (
+        DecodeOptions,
+        decode_windows_async,
+        encode_audio_kv,
+        finalize_decode,
+    )
+
+    if args.path == "pipeline":
+        backend = pipe.transcriber._backend  # loaded by the runs above
+    else:
+        backend = serving.backend
+    params, dims, tok = backend.params, backend.dims, backend.tokenizer
+    mel = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (cfg.transcription.batch_size, dims.n_mels, 3000), dtype=np.float32
+        )
+    )
+    audio_kv = encode_audio_kv(params, dims, mel)
+    audio_kv[0].block_until_ready()
+    opts = DecodeOptions(
+        beam_size=BEAM, max_tokens=DECODE_TOKENS, timestamps=True,
+        kv_int8=getattr(cfg.transcription, "kv_cache_dtype", "int8") == "int8",
+    )
+
+    def decode_once() -> float:
+        t0 = time.perf_counter()
+        finalize_decode(
+            decode_windows_async(params, dims, tok, None, opts, audio_kv=audio_kv)
+        )
+        return time.perf_counter() - t0
+
+    decode_once()  # warmup (compile)
+    decode_wall = min(decode_once() for _ in range(3))
+    ms_per_step = decode_wall / DECODE_TOKENS * 1000.0
+    tokens_per_s = cfg.transcription.batch_size * DECODE_TOKENS / decode_wall
+    log(f"decode step: {ms_per_step:.2f} ms/step "
+        f"({tokens_per_s:.0f} window-tokens/s)")
+
     print(
         json.dumps(
             {
@@ -148,6 +199,11 @@ def main() -> None:
                 "value": round(rtf, 2),
                 "unit": "audio_hours_per_hour_per_chip",
                 "vs_baseline": round(rtf / BASELINE_RTF, 3),
+                "rtf_best": round(audio_seconds / min(times), 2),
+                "runs_s": [round(t, 2) for t in times],
+                "ms_per_decode_step": round(ms_per_step, 3),
+                "decode_window_tokens_per_s": round(tokens_per_s, 1),
+                "decode_batch": cfg.transcription.batch_size,
             }
         )
     )

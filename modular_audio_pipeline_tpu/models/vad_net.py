@@ -113,8 +113,14 @@ class ConvVAD:
         x = jnp.stack(bands, axis=-1)
         return jnp.log10(x + 1e-10)
 
-    def _forward_impl(self, params, audio: jnp.ndarray) -> jnp.ndarray:
-        x = self._features(audio).T[None]  # [1, C, T]
+    @staticmethod
+    def forward_from_features(params, feats: jnp.ndarray) -> jnp.ndarray:
+        """[n_windows, N_MELS] log band energies -> [n_windows] probs.
+
+        Exposed separately so the serving path can run the SAME trained
+        stack over features emitted by its fused DSP stats program
+        (VERDICT r3 #1) instead of re-deriving an approximation."""
+        x = feats.T[None]  # [1, C, T]
         for name in ("conv1", "conv2", "conv3"):
             p = params[name]
             x = jax.lax.conv_general_dilated(
@@ -124,6 +130,9 @@ class ConvVAD:
             x = jax.nn.relu(x)
         logits = jnp.einsum("ct,ch->ht", x[0], params["head"]["w"]) + params["head"]["b"][:, None]
         return jax.nn.sigmoid(logits[0])
+
+    def _forward_impl(self, params, audio: jnp.ndarray) -> jnp.ndarray:
+        return self.forward_from_features(params, self._features(audio))
 
     def speech_probs(self, audio: np.ndarray, sr: int) -> np.ndarray:
         if sr != 16000:
@@ -216,6 +225,19 @@ class SileroVAD:
 
     def _run_impl(self, params, chunks: jnp.ndarray) -> jnp.ndarray:
         """chunks [N, 576] (context-prepended) -> probs [N]."""
+        h0 = jnp.zeros((self.HID,), jnp.float32)
+        probs, _, _ = self.run_carry(params, chunks, h0, h0)
+        return probs
+
+    @classmethod
+    def run_carry(
+        cls, params, chunks: jnp.ndarray, h0: jnp.ndarray, c0: jnp.ndarray
+    ):
+        """Like :meth:`_run_impl` but with explicit LSTM state in/out.
+
+        Lets the serving path scan hour-scale audio in fixed 600 s
+        sections while keeping exact whole-file recurrence semantics
+        (the state threads across section boundaries)."""
         basis = params["stft"]["basis"]  # [258, 1, 256]
 
         def per_chunk_features(x):  # [N, 576] -> [N, 129, T]
@@ -249,12 +271,13 @@ class SileroVAD:
             h = jax.nn.sigmoid(o_g) * jnp.tanh(c)
             return (h, c), h
 
-        h0 = jnp.zeros((self.HID,), feat.dtype)
-        (_, _), hs = jax.lax.scan(cell, (h0, h0), feat)
+        (h_out, c_out), hs = jax.lax.scan(
+            cell, (h0.astype(feat.dtype), c0.astype(feat.dtype)), feat
+        )
         hs = jax.nn.relu(hs)  # [N, 128]
         head = params["head"]
         logits = hs @ head["w"][0, :, 0][:, None] + head["b"]  # [N, 1]
-        return jax.nn.sigmoid(logits[:, 0])
+        return jax.nn.sigmoid(logits[:, 0]), h_out, c_out
 
     def speech_probs(self, audio: np.ndarray, sr: int) -> np.ndarray:
         if sr != 16000:

@@ -36,6 +36,34 @@ logger = logging.getLogger(__name__)
 __all__ = ["VocalSeparator", "NoOpVocalSeparator"]
 
 
+def _load_masknet(model: str):
+    """Load + shape-check the MaskUNet bundle for ``model``, or None.
+
+    Single resolve/load/probe shared by the host and device paths so an
+    unusable checkpoint is probed once, not twice (ADVICE r3). A stale
+    bundle (older width/channel layout) must degrade gracefully, not
+    fail every chunk at runtime — hence the tiny-input probe."""
+    from .utils import find_weights_bundle
+
+    unet_dir = find_weights_bundle(f"separation-{model}")
+    if unet_dir is None:
+        return None
+    try:
+        from .models.separation.unet import MaskUNet
+        from .models.whisper.convert import load_params
+
+        net = MaskUNet(params=load_params(str(unet_dir)))
+        net.separate(np.zeros(2048, np.float32), 16000)  # shape-check
+        logger.info("Separation backend: MaskUNet (%s)", unet_dir)
+        return net
+    except Exception as exc:
+        logger.warning(
+            "Separation checkpoint at %s unusable (%s); "
+            "falling back to REPET", unet_dir, exc,
+        )
+        return None
+
+
 def get_separation_backend(model: str):
     """Resolve the separation callable for a weight-bundle name.
 
@@ -45,26 +73,9 @@ def get_separation_backend(model: str):
     callable signature is ``fn(chunk [n] float32, sr) -> (vocals,
     accompaniment)``.
     """
-    from .utils import find_weights_bundle
-
-    unet_dir = find_weights_bundle(f"separation-{model}")
-    if unet_dir is not None:
-        try:
-            from .models.separation.unet import MaskUNet
-            from .models.whisper.convert import load_params
-
-            net = MaskUNet(params=load_params(str(unet_dir)))
-            # Shape-check the checkpoint against the current architecture
-            # on a tiny input: a stale bundle (older width/channel layout)
-            # must degrade to REPET, not fail every chunk at runtime.
-            net.separate(np.zeros(2048, np.float32), 16000)
-            logger.info("Separation backend: MaskUNet (%s)", unet_dir)
-            return net.separate
-        except Exception as exc:
-            logger.warning(
-                "Separation checkpoint at %s unusable (%s); "
-                "falling back to REPET", unet_dir, exc,
-            )
+    net = _load_masknet(model)
+    if net is not None:
+        return net.separate
 
     from .models.separation.repet import repet_separate
 
@@ -81,25 +92,7 @@ def get_device_separation(model: str):
     host beat spectrum), so None falls serving back to the host
     callable from :func:`get_separation_backend`.
     """
-    from .utils import find_weights_bundle
-
-    unet_dir = find_weights_bundle(f"separation-{model}")
-    if unet_dir is None:
-        return None
-    try:
-        from .models.separation.unet import MaskUNet
-        from .models.whisper.convert import load_params
-
-        net = MaskUNet(params=load_params(str(unet_dir)))
-        net.separate(np.zeros(2048, np.float32), 16000)  # shape-check
-        logger.info("Device separation backend: MaskUNet (%s)", unet_dir)
-        return net
-    except Exception as exc:
-        logger.warning(
-            "Separation checkpoint at %s unusable for device path (%s)",
-            unet_dir, exc,
-        )
-        return None
+    return _load_masknet(model)
 
 
 class VocalSeparator(VocalSeparatorProtocol):

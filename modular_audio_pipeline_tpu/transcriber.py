@@ -165,6 +165,7 @@ class JaxWhisperBackend:
             self.params = init_params(self.dims, seed=seed, dtype=dtype)
             self.tokenizer = load_tokenizer(None, n_vocab=self.dims.n_vocab)
             self._maybe_quantize()
+            self._place_params()
             # Quality gates are meaningless on random weights: every window
             # would walk the whole retry ladder.
             self.temperature_fallback = False
@@ -179,6 +180,7 @@ class JaxWhisperBackend:
             self.params = jax.tree.map(jnp.asarray, host)
             self.tokenizer = load_tokenizer(path, n_vocab=self.dims.n_vocab)
             self._maybe_quantize()
+            self._place_params()
             logger.info("Loaded Whisper %s from %s", self.model_name, path)
             return
 
@@ -189,6 +191,7 @@ class JaxWhisperBackend:
             )
             self.params = init_params(self.dims, seed=0, dtype=dtype)
             self.tokenizer = load_tokenizer(None, n_vocab=self.dims.n_vocab)
+            self._place_params()
             return
 
         raise ModelLoadError(
@@ -206,6 +209,27 @@ class JaxWhisperBackend:
 
             self.params = quantize_decoder(self.params)
             logger.info("Decoder quantized to weight-only int8")
+
+    def _place_params(self) -> None:
+        """Shard params over the mesh (Megatron TP on the 'model' axis,
+        replicated otherwise); no-op without a mesh."""
+        if self.mesh is None:
+            return
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.sharding import shard_params
+
+        try:
+            self.params = shard_params(self.params, self.mesh, model_axis="model")
+        except Exception as exc:
+            # e.g. the int8-quantized decoder tree has no TP spec table:
+            # replicate — DP over the 'data' axis still engages.
+            logger.warning("TP param sharding unavailable (%s); replicating", exc)
+            repl = NamedSharding(self.mesh, P())
+            self.params = jax.tree.map(
+                lambda leaf: jax.device_put(leaf, repl), self.params
+            )
 
     def unload(self) -> None:
         self.params = None  # device buffers freed by GC

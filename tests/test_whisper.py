@@ -537,3 +537,327 @@ class TestBeamPatience:
         # beam1 -2.0/2 = -1.0 beats beam0 -8.0/4 = -2.0
         assert list(res.tokens[0]) == [5, 6, eot, eot]
         assert res.sum_logprobs[0] == pytest.approx(-2.0)
+
+
+class TestConvertReadiness:
+    """VERDICT r3 #7: exercise convert_checkpoint's HF and OpenAI
+    key-mapping paths end-to-end on synthetic checkpoints, so the first
+    real (egress) conversion isn't the first execution of that code.
+
+    One random ground-truth tree is exported to BOTH source layouts
+    (applying the inverse transposes), converted, and loaded back — the
+    flat trees must match the ground truth exactly, and a decode must
+    run on the converted bundle."""
+
+    @staticmethod
+    def _true_tree(dims, rng):
+        d = dims.n_audio_state
+
+        def lin(din, dout):
+            return rng.standard_normal((din, dout)).astype(np.float32)
+
+        def vec(n):
+            return rng.standard_normal((n,)).astype(np.float32)
+
+        def block(cross):
+            p = {
+                "attn": {
+                    "q_w": lin(d, d), "q_b": vec(d), "k_w": lin(d, d),
+                    "v_w": lin(d, d), "v_b": vec(d),
+                    "o_w": lin(d, d), "o_b": vec(d),
+                },
+                "attn_ln": {"g": vec(d), "b": vec(d)},
+                "mlp": {
+                    "fc1_w": lin(d, 4 * d), "fc1_b": vec(4 * d),
+                    "fc2_w": lin(4 * d, d), "fc2_b": vec(d),
+                },
+                "mlp_ln": {"g": vec(d), "b": vec(d)},
+            }
+            if cross:
+                p["cross"] = {
+                    "q_w": lin(d, d), "q_b": vec(d), "k_w": lin(d, d),
+                    "v_w": lin(d, d), "v_b": vec(d),
+                    "o_w": lin(d, d), "o_b": vec(d),
+                }
+                p["cross_ln"] = {"g": vec(d), "b": vec(d)}
+            return p
+
+        def stack(blocks):
+            out = {}
+            for key in blocks[0]:
+                if isinstance(blocks[0][key], dict):
+                    out[key] = stack([b[key] for b in blocks])
+                else:
+                    out[key] = np.stack([b[key] for b in blocks])
+            return out
+
+        return {
+            "encoder": {
+                "conv1": {
+                    "w": rng.standard_normal(
+                        (d, dims.n_mels, 3)).astype(np.float32),
+                    "b": vec(d),
+                },
+                "conv2": {
+                    "w": rng.standard_normal((d, d, 3)).astype(np.float32),
+                    "b": vec(d),
+                },
+                "blocks": stack(
+                    [block(False) for _ in range(dims.n_audio_layer)]
+                ),
+                "ln_post": {"g": vec(d), "b": vec(d)},
+            },
+            "decoder": {
+                "tok_emb": rng.standard_normal(
+                    (dims.n_vocab, d)).astype(np.float32),
+                "pos_emb": rng.standard_normal(
+                    (dims.n_text_ctx, d)).astype(np.float32),
+                "blocks": stack(
+                    [block(True) for _ in range(dims.n_text_layer)]
+                ),
+                "ln": {"g": vec(d), "b": vec(d)},
+            },
+        }
+
+    @staticmethod
+    def _export_hf(tree, dims):
+        """Inverse of convert._from_hf: our tree -> HF state dict."""
+        sd = {}
+        enc, dec = tree["encoder"], tree["decoder"]
+        sd["model.encoder.conv1.weight"] = enc["conv1"]["w"]
+        sd["model.encoder.conv1.bias"] = enc["conv1"]["b"]
+        sd["model.encoder.conv2.weight"] = enc["conv2"]["w"]
+        sd["model.encoder.conv2.bias"] = enc["conv2"]["b"]
+        sd["model.encoder.layer_norm.weight"] = enc["ln_post"]["g"]
+        sd["model.encoder.layer_norm.bias"] = enc["ln_post"]["b"]
+        sd["model.decoder.embed_tokens.weight"] = dec["tok_emb"]
+        sd["model.decoder.embed_positions.weight"] = dec["pos_emb"]
+        sd["model.decoder.layer_norm.weight"] = dec["ln"]["g"]
+        sd["model.decoder.layer_norm.bias"] = dec["ln"]["b"]
+
+        def put_blocks(blocks, prefix, n, attn_name, cross):
+            for i in range(n):
+                a = blocks["attn"]
+                sd[f"{prefix}.{i}.{attn_name}.q_proj.weight"] = a["q_w"][i].T
+                sd[f"{prefix}.{i}.{attn_name}.q_proj.bias"] = a["q_b"][i]
+                sd[f"{prefix}.{i}.{attn_name}.k_proj.weight"] = a["k_w"][i].T
+                sd[f"{prefix}.{i}.{attn_name}.v_proj.weight"] = a["v_w"][i].T
+                sd[f"{prefix}.{i}.{attn_name}.v_proj.bias"] = a["v_b"][i]
+                sd[f"{prefix}.{i}.{attn_name}.out_proj.weight"] = a["o_w"][i].T
+                sd[f"{prefix}.{i}.{attn_name}.out_proj.bias"] = a["o_b"][i]
+                sd[f"{prefix}.{i}.self_attn_layer_norm.weight"] = (
+                    blocks["attn_ln"]["g"][i])
+                sd[f"{prefix}.{i}.self_attn_layer_norm.bias"] = (
+                    blocks["attn_ln"]["b"][i])
+                sd[f"{prefix}.{i}.fc1.weight"] = blocks["mlp"]["fc1_w"][i].T
+                sd[f"{prefix}.{i}.fc1.bias"] = blocks["mlp"]["fc1_b"][i]
+                sd[f"{prefix}.{i}.fc2.weight"] = blocks["mlp"]["fc2_w"][i].T
+                sd[f"{prefix}.{i}.fc2.bias"] = blocks["mlp"]["fc2_b"][i]
+                sd[f"{prefix}.{i}.final_layer_norm.weight"] = (
+                    blocks["mlp_ln"]["g"][i])
+                sd[f"{prefix}.{i}.final_layer_norm.bias"] = (
+                    blocks["mlp_ln"]["b"][i])
+                if cross:
+                    c = blocks["cross"]
+                    sd[f"{prefix}.{i}.encoder_attn.q_proj.weight"] = c["q_w"][i].T
+                    sd[f"{prefix}.{i}.encoder_attn.q_proj.bias"] = c["q_b"][i]
+                    sd[f"{prefix}.{i}.encoder_attn.k_proj.weight"] = c["k_w"][i].T
+                    sd[f"{prefix}.{i}.encoder_attn.v_proj.weight"] = c["v_w"][i].T
+                    sd[f"{prefix}.{i}.encoder_attn.v_proj.bias"] = c["v_b"][i]
+                    sd[f"{prefix}.{i}.encoder_attn.out_proj.weight"] = c["o_w"][i].T
+                    sd[f"{prefix}.{i}.encoder_attn.out_proj.bias"] = c["o_b"][i]
+                    sd[f"{prefix}.{i}.encoder_attn_layer_norm.weight"] = (
+                        blocks["cross_ln"]["g"][i])
+                    sd[f"{prefix}.{i}.encoder_attn_layer_norm.bias"] = (
+                        blocks["cross_ln"]["b"][i])
+
+        put_blocks(enc["blocks"], "model.encoder.layers",
+                   dims.n_audio_layer, "self_attn", False)
+        put_blocks(dec["blocks"], "model.decoder.layers",
+                   dims.n_text_layer, "self_attn", True)
+        # extra HF keys the converter must ignore
+        sd["proj_out.weight"] = dec["tok_emb"]
+        return sd
+
+    @staticmethod
+    def _export_openai(tree, dims):
+        """Inverse of convert._from_openai: our tree -> OpenAI state dict."""
+        sd = {}
+        enc, dec = tree["encoder"], tree["decoder"]
+        sd["encoder.conv1.weight"] = enc["conv1"]["w"]
+        sd["encoder.conv1.bias"] = enc["conv1"]["b"]
+        sd["encoder.conv2.weight"] = enc["conv2"]["w"]
+        sd["encoder.conv2.bias"] = enc["conv2"]["b"]
+        sd["encoder.ln_post.weight"] = enc["ln_post"]["g"]
+        sd["encoder.ln_post.bias"] = enc["ln_post"]["b"]
+        sd["decoder.token_embedding.weight"] = dec["tok_emb"]
+        sd["decoder.positional_embedding"] = dec["pos_emb"]
+        sd["decoder.ln.weight"] = dec["ln"]["g"]
+        sd["decoder.ln.bias"] = dec["ln"]["b"]
+
+        def put_blocks(blocks, prefix, n, cross):
+            for i in range(n):
+                a = blocks["attn"]
+                sd[f"{prefix}.{i}.attn.query.weight"] = a["q_w"][i].T
+                sd[f"{prefix}.{i}.attn.query.bias"] = a["q_b"][i]
+                sd[f"{prefix}.{i}.attn.key.weight"] = a["k_w"][i].T
+                sd[f"{prefix}.{i}.attn.value.weight"] = a["v_w"][i].T
+                sd[f"{prefix}.{i}.attn.value.bias"] = a["v_b"][i]
+                sd[f"{prefix}.{i}.attn.out.weight"] = a["o_w"][i].T
+                sd[f"{prefix}.{i}.attn.out.bias"] = a["o_b"][i]
+                sd[f"{prefix}.{i}.attn_ln.weight"] = blocks["attn_ln"]["g"][i]
+                sd[f"{prefix}.{i}.attn_ln.bias"] = blocks["attn_ln"]["b"][i]
+                sd[f"{prefix}.{i}.mlp.0.weight"] = blocks["mlp"]["fc1_w"][i].T
+                sd[f"{prefix}.{i}.mlp.0.bias"] = blocks["mlp"]["fc1_b"][i]
+                sd[f"{prefix}.{i}.mlp.2.weight"] = blocks["mlp"]["fc2_w"][i].T
+                sd[f"{prefix}.{i}.mlp.2.bias"] = blocks["mlp"]["fc2_b"][i]
+                sd[f"{prefix}.{i}.mlp_ln.weight"] = blocks["mlp_ln"]["g"][i]
+                sd[f"{prefix}.{i}.mlp_ln.bias"] = blocks["mlp_ln"]["b"][i]
+                if cross:
+                    c = blocks["cross"]
+                    sd[f"{prefix}.{i}.cross_attn.query.weight"] = c["q_w"][i].T
+                    sd[f"{prefix}.{i}.cross_attn.query.bias"] = c["q_b"][i]
+                    sd[f"{prefix}.{i}.cross_attn.key.weight"] = c["k_w"][i].T
+                    sd[f"{prefix}.{i}.cross_attn.value.weight"] = c["v_w"][i].T
+                    sd[f"{prefix}.{i}.cross_attn.value.bias"] = c["v_b"][i]
+                    sd[f"{prefix}.{i}.cross_attn.out.weight"] = c["o_w"][i].T
+                    sd[f"{prefix}.{i}.cross_attn.out.bias"] = c["o_b"][i]
+                    sd[f"{prefix}.{i}.cross_attn_ln.weight"] = (
+                        blocks["cross_ln"]["g"][i])
+                    sd[f"{prefix}.{i}.cross_attn_ln.bias"] = (
+                        blocks["cross_ln"]["b"][i])
+
+        put_blocks(enc["blocks"], "encoder.blocks", dims.n_audio_layer, False)
+        put_blocks(dec["blocks"], "decoder.blocks", dims.n_text_layer, True)
+        return sd
+
+    def _assert_matches_truth(self, loaded, truth):
+        from modular_audio_pipeline_tpu.models.whisper.model import padded_vocab
+
+        flat_got = flatten_tree(loaded)
+        flat_true = flatten_tree(truth)
+        # load_params pads the embedding table to the lane multiple
+        emb = flat_true["decoder/tok_emb"]
+        target = padded_vocab(emb.shape[0])
+        if target > emb.shape[0]:
+            flat_true["decoder/tok_emb"] = np.concatenate(
+                [emb, np.zeros((target - emb.shape[0], emb.shape[1]),
+                               emb.dtype)]
+            )
+        assert set(flat_got) == set(flat_true)
+        for k in flat_true:
+            np.testing.assert_array_equal(
+                flat_got[k], flat_true[k], err_msg=k
+            )
+
+    def _decode_smoke(self, bundle_dir):
+        params = jax.tree.map(
+            jnp.asarray, load_params(str(bundle_dir), dtype="float32")
+        )
+        rng = np.random.default_rng(3)
+        audio = (0.1 * rng.standard_normal(16000 * 30)).astype(np.float32)
+        mel = log_mel(jnp.asarray(audio[None]), n_mels=DIMS.n_mels)
+        out = decode_windows(
+            params, DIMS, DummyTokenizer(), mel,
+            DecodeOptions(language="en", beam_size=1, max_tokens=4),
+        )
+        assert out.tokens.shape[0] == 1
+
+    def test_hf_layout_bin(self, tmp_path):
+        import torch
+
+        from modular_audio_pipeline_tpu.models.whisper.convert import (
+            convert_checkpoint,
+        )
+
+        truth = self._true_tree(DIMS, np.random.default_rng(0))
+        sd = self._export_hf(truth, DIMS)
+        src = tmp_path / "hf"
+        src.mkdir()
+        torch.save(
+            {k: torch.from_numpy(np.ascontiguousarray(v))
+             for k, v in sd.items()},
+            src / "pytorch_model.bin",
+        )
+        dst = tmp_path / "converted-hf"
+        convert_checkpoint(str(src), str(dst), "test-tiny")
+        self._assert_matches_truth(load_params(str(dst)), truth)
+        self._decode_smoke(dst)
+
+    def test_hf_layout_safetensors(self, tmp_path):
+        pytest.importorskip("safetensors")
+        from safetensors.numpy import save_file
+
+        from modular_audio_pipeline_tpu.models.whisper.convert import (
+            convert_checkpoint,
+        )
+
+        truth = self._true_tree(DIMS, np.random.default_rng(1))
+        sd = self._export_hf(truth, DIMS)
+        src = tmp_path / "hf-st"
+        src.mkdir()
+        save_file(
+            {k: np.ascontiguousarray(v) for k, v in sd.items()},
+            str(src / "model.safetensors"),
+        )
+        dst = tmp_path / "converted-st"
+        convert_checkpoint(str(src), str(dst), "test-tiny")
+        self._assert_matches_truth(load_params(str(dst)), truth)
+
+    def test_openai_pt(self, tmp_path):
+        import torch
+
+        from modular_audio_pipeline_tpu.models.whisper.convert import (
+            convert_checkpoint,
+        )
+
+        truth = self._true_tree(DIMS, np.random.default_rng(2))
+        sd = self._export_openai(truth, DIMS)
+        pt = tmp_path / "test-tiny.pt"
+        torch.save(
+            {
+                "model_state_dict": {
+                    k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in sd.items()
+                },
+                "dims": {"n_vocab": DIMS.n_vocab},
+            },
+            pt,
+        )
+        dst = tmp_path / "converted-oai"
+        convert_checkpoint(str(pt), str(dst), "test-tiny")
+        self._assert_matches_truth(load_params(str(dst)), truth)
+        self._decode_smoke(dst)
+
+    def test_hf_and_openai_agree(self, tmp_path):
+        """Both layouts of the SAME weights convert to identical trees."""
+        import torch
+
+        from modular_audio_pipeline_tpu.models.whisper.convert import (
+            convert_checkpoint,
+        )
+
+        truth = self._true_tree(DIMS, np.random.default_rng(4))
+        hf_src = tmp_path / "hf"
+        hf_src.mkdir()
+        torch.save(
+            {k: torch.from_numpy(np.ascontiguousarray(v))
+             for k, v in self._export_hf(truth, DIMS).items()},
+            hf_src / "pytorch_model.bin",
+        )
+        pt = tmp_path / "w.pt"
+        torch.save(
+            {"model_state_dict": {
+                k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in self._export_openai(truth, DIMS).items()
+            }},
+            pt,
+        )
+        d1, d2 = tmp_path / "c1", tmp_path / "c2"
+        convert_checkpoint(str(hf_src), str(d1), "test-tiny")
+        convert_checkpoint(str(pt), str(d2), "test-tiny")
+        f1 = flatten_tree(load_params(str(d1)))
+        f2 = flatten_tree(load_params(str(d2)))
+        assert set(f1) == set(f2)
+        for k in f1:
+            np.testing.assert_array_equal(f1[k], f2[k], err_msg=k)

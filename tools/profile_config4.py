@@ -44,23 +44,49 @@ def main() -> None:
     pipe = ServingPipeline(cfg)
     pipe.backend.load()
 
-    # Phase A: music analysis + separation, timed on their own
-    from modular_audio_pipeline_tpu.ops.music import analyze_audio_content
-    from modular_audio_pipeline_tpu.separator import get_separation_backend
+    # Phase A: music analysis + separation, timed on their own. Mirror
+    # serving's resolution (ADVICE r3): device MaskUNet when a checkpoint
+    # exists, host backend otherwise — so the reported phase is the one
+    # config 4 actually pays.
+    import jax.numpy as jnp
 
+    from modular_audio_pipeline_tpu.ops.music import analyze_audio_content
+    from modular_audio_pipeline_tpu.separator import (
+        get_device_separation,
+        get_separation_backend,
+    )
+
+    dev_net = get_device_separation(cfg.vocal_separation.model)
+    sep_fn = None if dev_net is not None else get_separation_backend(
+        cfg.vocal_separation.model
+    )
     for run in range(args.runs + 1):  # +1 warmup
         tag = "warmup" if run == 0 else f"run {run}"
         t0 = time.perf_counter()
         analysis = analyze_audio_content(audio, SR)
         t1 = time.perf_counter()
-        sep_fn = get_separation_backend(cfg.vocal_separation.model)
         chunk = int(cfg.vocal_separation.chunk_minutes * 60 * SR)
-        vocals = np.concatenate(
-            [sep_fn(audio[s : s + chunk], SR)[0] for s in range(0, len(audio), chunk)]
-        ).astype(np.float32)
+        chunk = max(min(chunk, len(audio)), 1)
+        if dev_net is not None:
+            dev = jnp.asarray(audio)
+            pieces = []
+            for s in range(0, len(audio), chunk):
+                seg = dev[s : s + chunk]
+                if seg.shape[0] < chunk:
+                    seg = jnp.pad(seg, (0, chunk - seg.shape[0]))
+                pieces.append(dev_net.separate_device(seg))
+            out = jnp.concatenate(pieces)[: len(audio)]
+            out.block_until_ready()
+            vocals = np.asarray(out)
+        else:
+            vocals = np.concatenate(
+                [sep_fn(audio[s : s + chunk], SR)[0]
+                 for s in range(0, len(audio), chunk)]
+            ).astype(np.float32)
         t2 = time.perf_counter()
         log(f"[{tag}] analyze {t1 - t0:.2f}s  separation {t2 - t1:.2f}s"
-            f"  (has_music={analysis.get('has_music')})")
+            f"  (device={dev_net is not None},"
+            f" has_music={analysis.get('has_music')})")
 
     # Phase B: the rest of the serving path with separation pre-applied
     cfg.vocal_separation.enabled = False
@@ -69,7 +95,6 @@ def main() -> None:
 
     # monkey-time the decode internals by running process() under a
     # phase-tagged tracer: wrap log_mel / encode_audio_kv / decode fns
-    import modular_audio_pipeline_tpu.serving as serving_mod
     from modular_audio_pipeline_tpu.models.whisper import decode as dec
 
     acc = {}
