@@ -5,7 +5,8 @@ Discovery/validation semantics match the reference ``MediaHandler``
 preferred over video, sorted order, 100-byte minimum, temp dir wiped on
 discovery. Conversion differs by design — no subprocess on the common
 paths: WAV/FLAC/MP3 decode with first-party codecs (our RIFF codec +
-polyphase resampler, the C++ FLAC and MPEG-1 Layer III decoders in
+polyphase resampler, the C++ FLAC and Layer III decoders — MPEG-1 and
+the MPEG-2/2.5 LSF rates, MS + intensity stereo — in
 ``runtime/native/``), every other container (OGG/M4A/MP4/Opus/WebM/...)
 decodes in-process against the system libavformat/libavcodec shared
 libraries (``runtime/native/av/av_shim.cc``), and an FFmpeg binary on

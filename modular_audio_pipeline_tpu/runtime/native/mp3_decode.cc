@@ -10,11 +10,12 @@
 // frames (tools/derive_mp3_tables.py, tools/derive_mp3_aux.py) — no
 // decoder source was copied.
 //
-// Scope: MPEG-1 Layer III, 32/44.1/48 kHz, mono/stereo/joint (MS)
-// stereo, long + short + start/stop + mixed blocks, bit reservoir,
-// CBR and VBR streams, ID3v2/ID3v1 tag skipping. Intensity stereo and
-// MPEG-2/2.5 low-sample-rate extensions return kErrUnsupported so the
-// caller can fall back to an external converter when one exists.
+// Scope: MPEG-1 Layer III (32/44.1/48 kHz) plus the MPEG-2/2.5 LSF
+// extensions (16/22.05/24 and 8/11.025/12 kHz, one granule per frame,
+// 9-bit scalefac_compress layouts), mono/stereo/joint stereo with both
+// MS and intensity stereo (ratio laws measured from libmpg123:
+// tools/derive_mp3_lsf.py), long + short + start/stop + mixed blocks,
+// bit reservoir, CBR and VBR streams, ID3v2/ID3v1 tag skipping.
 //
 // Entry points (ctypes, see runtime/native_lib.py):
 //   mp3_probe(data, n, *sr, *channels, *approx_samples) -> 0 | error
@@ -27,6 +28,7 @@
 
 #include "mp3_huffman_tables.h"
 #include "mp3_tables_aux.h"
+#include "mp3_tables_lsf.h"
 
 namespace {
 
@@ -149,6 +151,9 @@ void init_tables() {
 
 constexpr int kBitrates[] = {0, 32, 40, 48, 56, 64, 80, 96, 112,
                              128, 160, 192, 224, 256, 320, 0};
+// MPEG-2/2.5 Layer III (LSF) bitrate ladder
+constexpr int kBitratesLsf[] = {0, 8, 16, 24, 32, 40, 48, 56, 64,
+                                80, 96, 112, 128, 144, 160, 0};
 constexpr int kRates[] = {44100, 48000, 32000, 0};
 
 struct Header {
@@ -159,28 +164,41 @@ struct Header {
   int mode = 0;       // 0 stereo, 1 joint, 2 dual, 3 mono
   int mode_ext = 0;
   bool crc = false;
+  bool lsf = false;   // MPEG-2 / MPEG-2.5 low-sample-rate extension
   int frame_bytes = 0;
   int side_bytes = 0;
+  int granules = 2;   // 1 for LSF
 };
 
-// returns true when the 4 bytes at p are a valid MPEG-1 Layer III header
+// returns true when the 4 bytes at p are a valid Layer III header
+// (MPEG-1, MPEG-2 or MPEG-2.5 — LSF streams carry one granule/frame)
 bool parse_header(const uint8_t* p, Header* h) {
   if (p[0] != 0xFF || (p[1] & 0xE0) != 0xE0) return false;
-  int version = (p[1] >> 3) & 3;   // 3 = MPEG-1
+  int version = (p[1] >> 3) & 3;   // 3 = MPEG-1, 2 = MPEG-2, 0 = MPEG-2.5
   int layer = (p[1] >> 1) & 3;     // 1 = Layer III
-  if (version != 3 || layer != 1) return false;
+  if (version == 1 || layer != 1) return false;
   int br_idx = (p[2] >> 4) & 0xF;
   int sr_idx = (p[2] >> 2) & 3;
   if (br_idx == 0 || br_idx == 15 || sr_idx == 3) return false;
+  h->lsf = version != 3;
   h->crc = ((p[1] & 1) == 0);
-  h->bitrate_kbps = kBitrates[br_idx];
-  h->samplerate = kRates[sr_idx];
+  h->bitrate_kbps = (h->lsf ? kBitratesLsf : kBitrates)[br_idx];
+  int sr = kRates[sr_idx];
+  if (version == 2) sr /= 2;       // MPEG-2: 22.05/24/16 kHz
+  if (version == 0) sr /= 4;       // MPEG-2.5: 11.025/12/8 kHz
+  h->samplerate = sr;
   h->padding = (p[2] >> 1) & 1;
   h->mode = (p[3] >> 6) & 3;
   h->mode_ext = (p[3] >> 4) & 3;
   h->channels = (h->mode == 3) ? 1 : 2;
-  h->frame_bytes = 144000 * h->bitrate_kbps / h->samplerate + h->padding;
-  h->side_bytes = (h->channels == 1) ? 17 : 32;
+  h->granules = h->lsf ? 1 : 2;
+  h->frame_bytes = (h->lsf ? 72000 : 144000) * h->bitrate_kbps
+                   / h->samplerate + h->padding;
+  if (h->lsf) {
+    h->side_bytes = (h->channels == 1) ? 9 : 17;
+  } else {
+    h->side_bytes = (h->channels == 1) ? 17 : 32;
+  }
   return true;
 }
 
@@ -207,17 +225,25 @@ struct SideInfo {
   GranuleInfo gr[2][2];   // [granule][channel]
 };
 
-bool parse_side_info(BitReader& br, int channels, SideInfo* si) {
-  si->main_data_begin = int(br.bits(9));
-  br.skip(channels == 1 ? 5 : 3);  // private bits
-  for (int ch = 0; ch < channels; ++ch) si->scfsi[ch] = int(br.bits(4));
-  for (int g = 0; g < 2; ++g) {
+bool parse_side_info(BitReader& br, const Header& h, SideInfo* si) {
+  const int channels = h.channels;
+  // LSF: 8-bit main_data_begin, 1|2 private bits, no scfsi, ONE granule;
+  // the granule layout also drops the preflag bit and widens
+  // scalefac_compress to 9 bits.
+  si->main_data_begin = int(br.bits(h.lsf ? 8 : 9));
+  if (h.lsf) {
+    br.skip(channels == 1 ? 1 : 2);
+  } else {
+    br.skip(channels == 1 ? 5 : 3);  // private bits
+    for (int ch = 0; ch < channels; ++ch) si->scfsi[ch] = int(br.bits(4));
+  }
+  for (int g = 0; g < h.granules; ++g) {
     for (int ch = 0; ch < channels; ++ch) {
       GranuleInfo& gi = si->gr[g][ch];
       gi.part2_3_length = int(br.bits(12));
       gi.big_values = int(br.bits(9));
       gi.global_gain = int(br.bits(8));
-      gi.scalefac_compress = int(br.bits(4));
+      gi.scalefac_compress = int(br.bits(h.lsf ? 9 : 4));
       gi.window_switching = br.bit() != 0;
       if (gi.window_switching) {
         gi.block_type = int(br.bits(2));
@@ -231,7 +257,7 @@ bool parse_side_info(BitReader& br, int channels, SideInfo* si) {
         gi.region1_count = int(br.bits(3));
         gi.block_type = 0;
       }
-      gi.preflag = br.bit() != 0;
+      gi.preflag = h.lsf ? false : (br.bit() != 0);
       gi.scalefac_scale = br.bit() != 0;
       gi.count1table_select = br.bit();
       if (gi.big_values > 288) return false;
@@ -249,29 +275,54 @@ struct RateTables {
   const int16_t* sfb_short;   // 14 edges (line domain)
   const uint16_t* short_map;  // is index -> sb*18 + win*6 + line
   int ws_region0_short;       // region0 end (is domain) for block_type 2
+  int ws_region0_long;        // region0 end (lines) for block_type 1/3
+  bool lsf;                   // MPEG-2 / MPEG-2.5 rate
 };
 
 bool rate_tables(int sr, RateTables* rt) {
+  rt->lsf = false;
   switch (sr) {
     case 44100:
       rt->sfb_long = mp3tab::kSfbLong44;
       rt->sfb_short = mp3tab::kSfbShort44;
       rt->short_map = mp3tab::kShortMap44;
       rt->ws_region0_short = mp3tab::kWsRegion0Short44;
+      rt->ws_region0_long = mp3tab::kSfbLong44[mp3tab::kWsRegion0LongBand];
       return true;
     case 48000:
       rt->sfb_long = mp3tab::kSfbLong48;
       rt->sfb_short = mp3tab::kSfbShort48;
       rt->short_map = mp3tab::kShortMap48;
       rt->ws_region0_short = mp3tab::kWsRegion0Short48;
+      rt->ws_region0_long = mp3tab::kSfbLong48[mp3tab::kWsRegion0LongBand];
       return true;
     case 32000:
       rt->sfb_long = mp3tab::kSfbLong32;
       rt->sfb_short = mp3tab::kSfbShort32;
       rt->short_map = mp3tab::kShortMap32;
       rt->ws_region0_short = mp3tab::kWsRegion0Short32;
+      rt->ws_region0_long = mp3tab::kSfbLong32[mp3tab::kWsRegion0LongBand];
       return true;
   }
+  // LSF rates (derived behaviourally, tools/derive_mp3_lsf.py)
+  rt->lsf = true;
+#define MAP_LSF_RATE(hz, sfx)                                   \
+  case hz:                                                      \
+    rt->sfb_long = mp3tab::kSfbLongLsf##sfx;                    \
+    rt->sfb_short = mp3tab::kSfbShortLsf##sfx;                  \
+    rt->short_map = mp3tab::kShortMapLsf##sfx;                  \
+    rt->ws_region0_short = mp3tab::kWsRegion0ShortLsf##sfx;     \
+    rt->ws_region0_long = mp3tab::kWsRegion0LongLsf##sfx;       \
+    return true
+  switch (sr) {
+    MAP_LSF_RATE(22050, 2205);
+    MAP_LSF_RATE(24000, 24000);
+    MAP_LSF_RATE(16000, 16000);
+    MAP_LSF_RATE(11025, 11025);
+    MAP_LSF_RATE(12000, 12000);
+    MAP_LSF_RATE(8000, 8000);
+  }
+#undef MAP_LSF_RATE
   return false;
 }
 
@@ -282,6 +333,11 @@ bool rate_tables(int sr, RateTables* rt) {
 struct Scalefactors {
   int l[23] = {0};      // long bands
   int s[13][3] = {{0}}; // short bands x windows
+  // LSF intensity bookkeeping: bits used per band (illegal is_position
+  // is (1 << slen) - 1) and the intensity_scale flag (sc & 1)
+  int slen_l[23] = {0};
+  int slen_s[13] = {0};
+  int intensity_scale = 0;
 };
 
 // part2: reads scalefactors, honouring scfsi for granule 1
@@ -323,6 +379,111 @@ void read_scalefactors(BitReader& br, const GranuleInfo& gi, int granule,
   }
 }
 
+// LSF scalefactor layout (ISO 13818-3 2.4.3.2 semantics): a slen
+// quadruple computed from the 9-bit scalefac_compress plus a partition
+// table; channel 1 in joint intensity mode uses the halved-sc variant.
+// Verified behaviourally: whole-stream sample equality vs libmpg123 on
+// LAME-encoded 16/22.05/24/8/11.025/12 kHz streams and crafted
+// intensity probe frames (tools/derive_mp3_lsf.py measured the
+// partition alignment and the intensity ratio laws directly).
+constexpr int kLsfNsfb[6][3][4] = {
+    {{6, 5, 5, 5}, {9, 9, 9, 9}, {6, 9, 9, 9}},
+    {{6, 5, 7, 3}, {9, 9, 12, 6}, {6, 9, 12, 6}},
+    {{11, 10, 0, 0}, {18, 18, 0, 0}, {15, 18, 0, 0}},
+    {{7, 7, 7, 0}, {12, 12, 12, 0}, {6, 15, 12, 0}},
+    {{6, 6, 6, 3}, {12, 9, 9, 6}, {6, 12, 9, 6}},
+    {{8, 8, 5, 0}, {15, 12, 9, 0}, {6, 18, 9, 0}},
+};
+
+void read_scalefactors_lsf(BitReader& br, GranuleInfo& gi,
+                           bool intensity_ch, Scalefactors* sf) {
+  int sc = gi.scalefac_compress;
+  int slen[4] = {0, 0, 0, 0};
+  int blocknumber = 0;
+  if (intensity_ch) {
+    sf->intensity_scale = sc & 1;
+    sc >>= 1;
+    if (sc < 180) {
+      slen[0] = sc / 36;
+      slen[1] = (sc % 36) / 6;
+      slen[2] = sc % 6;
+      blocknumber = 3;
+    } else if (sc < 244) {
+      // measured per-band (tools/derive_mp3_lsf.py block-4 fit):
+      // base-4 digit triple of (sc - 180)
+      sc -= 180;
+      slen[0] = sc / 16;
+      slen[1] = (sc % 16) / 4;
+      slen[2] = sc % 4;
+      blocknumber = 4;
+    } else {
+      sc -= 244;
+      slen[0] = sc / 3;
+      slen[1] = sc % 3;
+      blocknumber = 5;
+    }
+  } else {
+    if (sc < 400) {
+      slen[0] = (sc >> 4) / 5;
+      slen[1] = (sc >> 4) % 5;
+      slen[2] = (sc % 16) >> 2;
+      slen[3] = sc % 4;
+      blocknumber = 0;
+    } else if (sc < 500) {
+      sc -= 400;
+      slen[0] = (sc >> 2) / 5;
+      slen[1] = (sc >> 2) % 5;
+      slen[2] = sc % 4;
+      blocknumber = 1;
+    } else {
+      sc -= 500;
+      slen[0] = sc / 3;
+      slen[1] = sc % 3;
+      blocknumber = 2;
+      gi.preflag = true;  // LSF: preflag implied, no side-info bit
+    }
+  }
+  const int bt = (gi.window_switching && gi.block_type == 2)
+                     ? (gi.mixed_block ? 2 : 1)
+                     : 0;
+  const int* nsfb = kLsfNsfb[blocknumber][bt];
+  if (bt == 0) {  // long blocks: values are per band 0..20
+    int b = 0;
+    for (int part = 0; part < 4; ++part) {
+      for (int i = 0; i < nsfb[part] && b < 23; ++i, ++b) {
+        sf->l[b] = slen[part] ? int(br.bits(slen[part])) : 0;
+        sf->slen_l[b] = slen[part];
+      }
+    }
+  } else if (bt == 1) {  // short: band-major, window-minor
+    int j = 0;
+    for (int part = 0; part < 4; ++part) {
+      for (int i = 0; i < nsfb[part]; ++i, ++j) {
+        const int b = j / 3, w = j % 3;
+        if (b >= 13) continue;
+        sf->s[b][w] = slen[part] ? int(br.bits(slen[part])) : 0;
+        sf->slen_s[b] = slen[part];
+      }
+    }
+  } else {  // mixed: 6 long bands, then short bands from band 3
+    int j = 0;
+    for (int part = 0; part < 4; ++part) {
+      for (int i = 0; i < nsfb[part]; ++i, ++j) {
+        if (j < 6) {
+          sf->l[j] = slen[part] ? int(br.bits(slen[part])) : 0;
+          sf->slen_l[j] = slen[part];
+        } else {
+          const int k = j - 6;
+          const int b = 3 + k / 3, w = k % 3;
+          if (b >= 13) continue;
+          sf->s[b][w] = slen[part] ? int(br.bits(slen[part])) : 0;
+          sf->slen_s[b] = slen[part];
+        }
+      }
+    }
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Huffman spectrum decode
 // ---------------------------------------------------------------------------
@@ -359,14 +520,14 @@ bool decode_pair(BitReader& br, const PairTable& pt, int32_t* is, int idx) {
 // full spectrum for one granule/channel; returns false on malformed data
 bool huffman_spectrum(BitReader& br, const GranuleInfo& gi,
                       const RateTables& rt, size_t part2_start,
-                      int32_t* is) {
+                      int32_t* is, int* nz_end = nullptr) {
   std::memset(is, 0, 576 * sizeof(int32_t));
   // big-values region boundaries
   int reg_end[3];
   if (gi.window_switching) {
     const int r0 = (gi.block_type == 2 && !gi.mixed_block)
                        ? rt.ws_region0_short
-                       : rt.sfb_long[mp3tab::kWsRegion0LongBand];
+                       : rt.ws_region0_long;
     reg_end[0] = r0;
     reg_end[1] = 576;
     reg_end[2] = 576;
@@ -429,6 +590,15 @@ bool huffman_spectrum(BitReader& br, const GranuleInfo& gi,
       is[idx + i] = v;
     }
     idx += 4;
+  }
+  // intensity stereo's "zero part" boundary: the position after the
+  // last truly NONZERO value (probed: mpg123 keeps a band out of the
+  // intensity region while any of its lines is nonzero, including
+  // zero-valued count1 tail quads)
+  if (nz_end != nullptr) {
+    int last = idx < 576 ? idx : 576;
+    while (last > 0 && is[last - 1] == 0) --last;
+    *nz_end = last;
   }
   // position the reader at the end of this granule's bits
   br.pos = part2_3_end;
@@ -507,6 +677,129 @@ void requantize(const GranuleInfo& gi, const RateTables& rt,
     double v = requant_mag(mag, g_gain);
     v *= std::pow(2.0, -sf_step * (sf.l[b] + pre));
     xr[k] = is[k] < 0 ? -v : v;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Joint stereo: MS + intensity
+// ---------------------------------------------------------------------------
+
+// (kl, kr) for one intensity position; false = illegal position (the
+// band passes through, or takes MS when the MS flag is set). Ratio laws
+// measured from libmpg123 (tools/derive_mp3_lsf.py): MPEG-1 follows
+// kl = tan(p*pi/12) / (1 + tan), kr = 1 - kl with p = 6 fully left and
+// p >= 7 illegal; LSF scales one side by powers of 2^-1/4 (or 2^-1/2
+// when intensity_scale is set), odd positions scaling the left.
+bool intensity_pair(bool lsf, int pos, int slen, int intensity_scale,
+                    double* kl, double* kr) {
+  if (lsf) {
+    // illegal position is 7 EXACTLY, independent of the band's slen
+    // (probed: slen-2 position 3 and slen-4 positions 9/15 are legal,
+    // position 7 passes through at every slen); slen-0 bands carry
+    // position 0, which is legal
+    (void)slen;
+    if (pos == 7) return false;
+    const double io = intensity_scale ? 0.7071067811865476
+                                      : 0.8408964152537145;
+    if (pos & 1) {
+      *kl = std::pow(io, (pos + 1) / 2);
+      *kr = 1.0;
+    } else if (pos > 0) {
+      *kl = 1.0;
+      *kr = std::pow(io, pos / 2);
+    } else {
+      *kl = 1.0;
+      *kr = 1.0;
+    }
+    return true;
+  }
+  if (pos >= 7) return false;
+  *kl = mp3tab::kIsRatioL1[pos];
+  *kr = mp3tab::kIsRatioR1[pos];
+  return true;
+}
+
+// Per-granule joint-stereo post-processing over the requantized
+// spectra. ``nz_end`` is the right channel's decoded extent in the
+// is-order domain (its "zero part" starts there); intensity applies to
+// scalefactor bands whose is-range starts at/after it, positions taken
+// from the right channel's scalefactors. MS covers everything else
+// when flagged. The spectra are already reordered for short blocks, so
+// short-band lines are touched through the reorder map.
+void apply_joint_stereo(bool lsf, bool ms_flag, bool is_flag,
+                        const GranuleInfo& gi1, const RateTables& rt,
+                        const Scalefactors& sf1, int nz_end,
+                        double* xl, double* xr) {
+  const double inv_sqrt2 = 0.7071067811865476;
+  auto ms = [&](int k) {
+    const double m = xl[k], s = xr[k];
+    xl[k] = (m + s) * inv_sqrt2;
+    xr[k] = (m - s) * inv_sqrt2;
+  };
+  if (!is_flag) {
+    if (ms_flag) {
+      for (int k = 0; k < 576; ++k) ms(k);
+    }
+    return;
+  }
+
+  const bool short_blk =
+      gi1.window_switching && gi1.block_type == 2 && !gi1.mixed_block;
+  const bool mixed_blk =
+      gi1.window_switching && gi1.block_type == 2 && gi1.mixed_block;
+
+  auto long_bands = [&](int b_begin, int line_end) {
+    for (int b = b_begin; b < 22 && rt.sfb_long[b] < line_end; ++b) {
+      const int sb = b < 21 ? b : 20;  // last band shares its neighbour
+      double kl = 1.0, kr = 1.0;
+      const bool is_band = rt.sfb_long[b] >= nz_end;
+      const bool legal =
+          is_band && intensity_pair(lsf, sf1.l[sb], sf1.slen_l[sb],
+                                    sf1.intensity_scale, &kl, &kr);
+      const int e1 = rt.sfb_long[b + 1] < line_end ? rt.sfb_long[b + 1]
+                                                   : line_end;
+      for (int k = rt.sfb_long[b]; k < e1; ++k) {
+        if (legal) {
+          xr[k] = kr * xl[k];
+          xl[k] = kl * xl[k];
+        } else if (ms_flag) {
+          ms(k);
+        }
+      }
+    }
+  };
+
+  auto short_bands = [&](int b_begin) {
+    for (int b = b_begin; b < 13 && rt.sfb_short[b] < 192; ++b) {
+      const int width = rt.sfb_short[b + 1] - rt.sfb_short[b];
+      const int sb = b < 12 ? b : 11;
+      for (int w = 0; w < 3; ++w) {
+        const int start = 3 * rt.sfb_short[b] + w * width;
+        double kl = 1.0, kr = 1.0;
+        const bool is_band = start >= nz_end;
+        const bool legal =
+            is_band && intensity_pair(lsf, sf1.s[sb][w], sf1.slen_s[sb],
+                                      sf1.intensity_scale, &kl, &kr);
+        for (int i = 0; i < width; ++i) {
+          const int dst = rt.short_map[start + i];
+          if (legal) {
+            xr[dst] = kr * xl[dst];
+            xl[dst] = kl * xl[dst];
+          } else if (ms_flag) {
+            ms(dst);
+          }
+        }
+      }
+    }
+  };
+
+  if (short_blk) {
+    short_bands(0);
+  } else if (mixed_blk) {
+    long_bands(0, 36);
+    short_bands(3);
+  } else {
+    long_bands(0, 576);
   }
 }
 
@@ -675,41 +968,48 @@ struct Decoder {
                    size_t frame_main_start, float* out, int64_t room) {
     RateTables rt;
     if (!rate_tables(h.samplerate, &rt)) return int(kErrUnsupported);
-    if (h.mode == 1 && (h.mode_ext & 1)) return int(kErrUnsupported);
     const bool ms = (h.mode == 1) && (h.mode_ext & 2);
-    if (room < 1152 * h.channels) return int(kErrCapacity);
+    const bool is = (h.mode == 1) && (h.mode_ext & 1) && h.channels == 2;
+    const int frame_samples = 576 * h.granules;
+    if (room < frame_samples * h.channels) return int(kErrCapacity);
 
     BitReader br(reservoir.data(), reservoir.size());
     br.pos = frame_main_start * 8;
     static thread_local int32_t is_buf[576];
     static thread_local double xr[2][576];
     static thread_local Scalefactors sf_store[2][2];
+    static thread_local GranuleInfo gi_store[2];
 
-    for (int g = 0; g < 2; ++g) {
+    for (int g = 0; g < h.granules; ++g) {
+      int nz_end[2] = {576, 576};
       for (int ch = 0; ch < h.channels; ++ch) {
-        const GranuleInfo& gi = si.gr[g][ch];
+        // local copy: the LSF scalefactor reader derives preflag from
+        // scalefac_compress (there is no side-info bit for it)
+        GranuleInfo& gi = gi_store[ch];
+        gi = si.gr[g][ch];
         const size_t part2_start = br.pos;
         Scalefactors& sf = sf_store[g][ch];
         sf = Scalefactors();
-        read_scalefactors(br, gi, g, si.scfsi[ch], sf_store[0][ch], &sf);
-        if (!huffman_spectrum(br, gi, rt, part2_start, is_buf))
+        if (h.lsf) {
+          read_scalefactors_lsf(br, gi, is && ch == 1, &sf);
+        } else {
+          read_scalefactors(br, gi, g, si.scfsi[ch], sf_store[0][ch], &sf);
+        }
+        if (!huffman_spectrum(br, gi, rt, part2_start, is_buf,
+                              &nz_end[ch]))
           return int(kErrMalformed);
         requantize(gi, rt, sf, is_buf, xr[ch]);
       }
-      if (ms) {
-        const double inv_sqrt2 = 0.7071067811865476;
-        for (int k = 0; k < 576; ++k) {
-          const double m = xr[0][k], s2 = xr[1][k];
-          xr[0][k] = (m + s2) * inv_sqrt2;
-          xr[1][k] = (m - s2) * inv_sqrt2;
-        }
+      if (ms || is) {
+        apply_joint_stereo(h.lsf, ms, is, gi_store[1], rt,
+                           sf_store[g][1], nz_end[1], xr[0], xr[1]);
       }
       for (int ch = 0; ch < h.channels; ++ch) {
-        synth_granule(si.gr[g][ch], xr[ch], &state[ch],
+        synth_granule(gi_store[ch], xr[ch], &state[ch],
                       out + g * 576 * h.channels + ch, h.channels);
       }
     }
-    return 1152;
+    return frame_samples;
   }
 };
 
@@ -756,7 +1056,7 @@ int64_t mp3_probe(const uint8_t* data, int64_t n, int32_t* sr,
     ++frames;
     pos += size_t(hf.frame_bytes);
   }
-  *approx_samples = frames * 1152 + 2304;
+  *approx_samples = frames * (h.lsf ? 576 : 1152) + 2304;
   return 0;
 }
 
@@ -790,7 +1090,7 @@ int64_t mp3_decode(const uint8_t* data, int64_t n, float* out,
     size_t off = pos + 4 + (h.crc ? 2 : 0);
     BitReader sbr(data + off, size_t(h.side_bytes));
     SideInfo si;
-    if (!parse_side_info(sbr, h.channels, &si)) return kErrMalformed;
+    if (!parse_side_info(sbr, h, &si)) return kErrMalformed;
 
     const size_t main_off = off + size_t(h.side_bytes);
     const size_t main_len = pos + size_t(h.frame_bytes) - main_off;

@@ -70,7 +70,10 @@ def load_native() -> Optional[ctypes.CDLL]:
     _load_attempted = True
 
     path = _lib_path()
-    newest_src = max(s.stat().st_mtime for s in _SOURCES)
+    # headers too: the generated table headers change independently
+    newest_src = max(
+        s.stat().st_mtime for s in (*_SOURCES, *_SRC_DIR.glob("*.h"))
+    )
     if not path.exists() or path.stat().st_mtime < newest_src:
         built = _build()
         if built is None:
