@@ -97,6 +97,12 @@ def main() -> None:
     cfg.transcription.batch_size = 16
     cfg.transcription.max_decode_tokens = DECODE_TOKENS
     cfg.transcription.word_timestamps = True  # production default (DTW)
+    # Random weights can trip whisper's no-speech gate on EVERY window
+    # (seed-dependent), silently dropping the DTW word-alignment work
+    # from the timed region. Disable the gate so the bench always
+    # exercises the full production path: parse + DTW on all windows —
+    # conservative vs real checkpoints, which gate only true silence.
+    cfg.transcription.no_speech_threshold = None
 
     if args.path == "pipeline":
         # Reference-parity path: AudioPipeline.run over the same audio,
@@ -132,6 +138,14 @@ def main() -> None:
     t0 = time.perf_counter()
     n_segments = run_once()
     log(f"warmup done in {time.perf_counter() - t0:.1f}s ({n_segments} segments)")
+    if n_segments == 0:
+        # Seen on degraded relay sessions: token fetches can come back as
+        # zero buffers (nondeterministic per process), which parse to no
+        # segments and silently skip the DTW word-attachment work. Flag
+        # it so the recorded RTF can be read accordingly.
+        log("WARNING: 0 segments parsed — DTW word attachment not "
+            "exercised this run (degenerate random-weight decode or "
+            "relay zero-buffer fetch)")
 
     times = []
     for i in range(RUNS):

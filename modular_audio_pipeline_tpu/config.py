@@ -135,6 +135,10 @@ class TranscriptionConfig:
     # Beam-search patience (faster-whisper option): search until
     # round(beam_size * patience) finished hypotheses per window.
     patience: Optional[float] = None
+    # Sequential (seek-loop) decoding conditions each window on previously
+    # decoded text, like whisper/faster-whisper's
+    # condition_on_previous_text option (their default: True).
+    condition_on_previous_text: bool = True
     # Decoder self-attention KV cache dtype: "int8" (default — halves the
     # decode step's HBM traffic; exact per-position scale folding, token
     # parity verified against bf16 on the trained proxy) or "bfloat16".

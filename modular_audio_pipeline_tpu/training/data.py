@@ -28,7 +28,7 @@ from .whisper_train import IGNORE_INDEX
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["TranscriptDataset", "encode_example"]
+__all__ = ["TranscriptDataset", "encode_example", "encode_longform_example"]
 
 _SR = 16000
 _WINDOW = 30 * _SR
@@ -69,6 +69,69 @@ def encode_example(
     return tokens, targets
 
 
+def encode_longform_example(
+    tokenizer: WhisperTokenizer,
+    segments: List[dict],
+    language: str = "en",
+    task: str = "transcribe",
+    max_len: int = 448,
+    tail_start: Optional[float] = None,
+    prompt: str = "",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Multi-segment 30 s window -> (tokens, targets).
+
+    Whisper's long-form training grammar (the format its seek loop
+    consumes, ``transcriber._parse_window_seek``):
+
+    - ``<|a_i|> text_i <|b_i|>`` per segment completed inside the window;
+    - a bare trailing start timestamp for a segment straddling the window
+      end (the paper's crop rule: "predict only its start time token"),
+      which teaches the seek loop to resume at the last completed end;
+    - an optional previous-text conditioning prefix
+      ``[sot_prev] + prompt`` (condition_on_previous_text), masked from
+      the loss together with the SOT sequence.
+    """
+    prefix: List[int] = []
+    if prompt:
+        prefix = [tokenizer.sot_prev] + tokenizer.encode(" " + prompt.strip())
+    sot = tokenizer.sot_sequence(language, task, timestamps=True)
+    ts0 = tokenizer.timestamp_begin
+
+    def ts(seconds: float) -> int:
+        return ts0 + int(round(min(max(float(seconds), 0.0), 30.0) / 0.02))
+
+    def build(segs: List[dict], tail: Optional[float]) -> List[int]:
+        body: List[int] = []
+        for seg in segs:
+            body += [ts(seg["start"])]
+            body += tokenizer.encode(" " + str(seg["text"]).strip())
+            body += [ts(seg["end"])]
+        if tail is not None:
+            body.append(ts(tail))
+        return body
+
+    # Keep EOT in-sequence: when the example overflows max_len, drop the
+    # conditioning prompt first, then convert trailing complete segments
+    # into a start-only tail (still valid long-form grammar) until it fits.
+    segs, tail = list(segments), tail_start
+    body = build(segs, tail)
+    while len(prefix) + len(sot) + len(body) + 1 > max_len + 1:
+        if prefix:
+            prefix = []
+        elif segs:
+            tail = float(segs[-1]["start"])
+            segs = segs[:-1]
+        else:
+            break
+        body = build(segs, tail)
+    full = (prefix + sot + body + [tokenizer.eot])[: max_len + 1]
+
+    tokens = np.asarray(full[:-1], dtype=np.int32)
+    targets = np.asarray(full[1:], dtype=np.int32)
+    targets[: len(prefix) + len(sot) - 1] = IGNORE_INDEX
+    return tokens, targets
+
+
 @dataclass
 class TranscriptDataset:
     """Batched iterator over (audio, transcript) pairs."""
@@ -81,6 +144,10 @@ class TranscriptDataset:
     seq_len: int = 224
     shuffle_seed: Optional[int] = 0
     timestamps: bool = False  # wrap transcripts in the timestamp grammar
+    # Raw manifest rows (parallel to ``examples``) for long-form windows:
+    # rows carrying a "segments" list encode through the multi-segment
+    # grammar (encode_longform_example) instead of the single-sentence one.
+    rows: Optional[List[dict]] = None
     # Cache every example's mel (float16, host RAM) on the first epoch.
     # Without it each epoch recomputes mels on device and downloads them
     # over the relay's ~20 MB/s D2H path — the dominant cost of small
@@ -89,15 +156,19 @@ class TranscriptDataset:
 
     @classmethod
     def from_manifest(cls, path: str, tokenizer, dims, **kw) -> "TranscriptDataset":
-        examples = []
+        examples, rows = [], []
         with open(path, encoding="utf-8") as f:
             for line in f:
                 if not line.strip():
                     continue
                 row = json.loads(line)
                 examples.append((row["audio"], row["text"], row.get("duration")))
+                rows.append(row)
         logger.info("Manifest %s: %d examples", path, len(examples))
-        return cls(examples=examples, tokenizer=tokenizer, dims=dims, **kw)
+        if not any("segments" in r for r in rows):
+            rows = None  # plain single-sentence manifest
+        return cls(examples=examples, tokenizer=tokenizer, dims=dims,
+                   rows=rows, **kw)
 
     def __len__(self) -> int:
         return (len(self.examples) + self.batch_size - 1) // self.batch_size
@@ -156,10 +227,20 @@ class TranscriptDataset:
 
             for j, k in enumerate(idx):
                 _path, text, duration = self.examples[k]
-                t, y = encode_example(
-                    self.tokenizer, text, language=self.language, max_len=s,
-                    timestamps=self.timestamps, duration=duration,
-                )
+                row = self.rows[k] if self.rows is not None else {}
+                if "segments" in row:
+                    t, y = encode_longform_example(
+                        self.tokenizer, row["segments"],
+                        language=self.language, max_len=s,
+                        tail_start=row.get("tail_start"),
+                        prompt=row.get("prompt", ""),
+                    )
+                else:
+                    t, y = encode_example(
+                        self.tokenizer, text, language=self.language,
+                        max_len=s, timestamps=self.timestamps,
+                        duration=duration,
+                    )
                 n = min(len(t), s)
                 tokens[j, :n] = t[:n]
                 targets[j, :n] = y[:n]

@@ -29,7 +29,10 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["VOCAB", "synth_word", "make_dataset", "train_proxy", "evaluate_wer"]
+__all__ = [
+    "VOCAB", "synth_word", "make_dataset", "make_longform_dataset",
+    "train_proxy", "evaluate_wer",
+]
 
 SR = 16000
 
@@ -127,6 +130,98 @@ def make_dataset(
     return manifests[0], manifests[1]
 
 
+def make_longform_dataset(
+    data_dir: str,
+    n_train: int = 480,
+    n_eval: int = 12,
+    min_words: int = 8,
+    max_words: int = 20,
+    seed: int = 0,
+) -> Tuple[str, str]:
+    """30 s multi-sentence window crops teaching the long-form grammar.
+
+    Whisper learns its seek-loop behaviour from 30 s training crops that
+    contain several timestamped segments, sometimes end mid-segment (the
+    paper's rule: predict only the straddler's start time), and are
+    conditioned on previous text half the time. The single-sentence
+    dataset (:func:`make_dataset`) never exercises any of that — round 3's
+    proxy therefore free-ran poorly on multi-minute streams (WER 0.71
+    batched / 0.91 sequential, VERDICT r3 #3). Each example here:
+
+    - sentences of ``min_words..max_words`` packed with 0.3-0.9 s pauses;
+    - ~35 % of windows end after a completed sentence (trailing end
+      timestamp -> "whole window consumed" at decode);
+    - the rest overflow: the straddling sentence's audio is cropped at
+      30 s and the target carries only its start timestamp;
+    - 50 % carry a previous-text conditioning prompt (random held-out
+      word sequences, loss-masked).
+    """
+    from ..audio_io import write_wav
+
+    root = Path(data_dir)
+    (root / "wav").mkdir(parents=True, exist_ok=True)
+    win = 30 * SR
+    manifests = []
+    for split, count, stream in (("train", n_train, 0), ("eval", n_eval, 500_000)):
+        rng = np.random.default_rng(seed + 77_000 + stream)
+        lines = []
+        for i in range(count):
+            parts: List[np.ndarray] = [
+                np.zeros(int(rng.uniform(0.05, 0.3) * SR), np.float32)
+            ]
+            pos = len(parts[0])
+            segments: List[Dict[str, float]] = []
+            tail_start = None
+            while True:
+                k = int(rng.integers(min_words, max_words + 1))
+                words = rng.integers(0, len(VOCAB), size=k)
+                text = " ".join(VOCAB[w] for w in words)
+                sent = synth_sentence(list(words), rng)
+                start = round(pos / SR / 0.02) * 0.02
+                if pos + len(sent) > win:
+                    # straddler: crop the audio, predict only its start
+                    tail_start = start
+                    parts.append(sent[: win - pos])
+                    pos = win
+                    break
+                parts.append(sent)
+                end = round((pos + len(sent)) / SR / 0.02) * 0.02
+                segments.append({"start": start, "end": end, "text": text})
+                pos += len(sent)
+                pause = np.zeros(int(rng.uniform(0.3, 0.9) * SR), np.float32)
+                if pos + len(pause) >= win:
+                    break
+                parts.append(pause)
+                pos += len(pause)
+                if segments and rng.random() < 0.25:
+                    break  # completed-final-segment form (trailing end ts)
+            audio = np.concatenate(parts)[:win]
+            path = root / "wav" / f"lf_{split}_{i:04d}.wav"
+            write_wav(str(path), audio, SR)
+            prompt = ""
+            if rng.random() < 0.5:
+                m = int(rng.integers(4, 16))
+                prompt = " ".join(
+                    VOCAB[w] for w in rng.integers(0, len(VOCAB), size=m)
+                )
+            lines.append(json.dumps({
+                "audio": str(path),
+                "text": " ".join(s["text"] for s in segments),
+                "duration": round(len(audio) / SR, 3),
+                "segments": segments,
+                "tail_start": tail_start,
+                "prompt": prompt,
+            }))
+        mpath = root / f"longform_{split}.jsonl"
+        mpath.write_text("\n".join(lines) + "\n")
+        manifests.append(str(mpath))
+    logger.info(
+        "Long-form dataset: %d train / %d eval windows in %s",
+        n_train, n_eval, root,
+    )
+    return manifests[0], manifests[1]
+
+
 def train_proxy(
     manifest: str,
     out_dir: str,
@@ -137,6 +232,7 @@ def train_proxy(
     seed: int = 0,
     model_name: str = "tiny",
     save_dtype: str = "float16",
+    init_from: Optional[str] = None,  # checkpoint dir: fine-tune instead
 ) -> Dict[str, float]:
     """Train ``model_name`` from scratch on the manifest; save the
     checkpoint (transcriber-loadable ``params.npz``) to ``out_dir``.
@@ -155,7 +251,9 @@ def train_proxy(
     from .whisper_train import make_train_step
 
     backend = JaxWhisperBackend(
-        model_name, weights_path=f"random:{seed}", compute_dtype="float32"
+        model_name,
+        weights_path=init_from if init_from else f"random:{seed}",
+        compute_dtype="float32",
     )
     backend.load()
     dims = WHISPER_DIMS[model_name]
@@ -286,7 +384,17 @@ def main() -> None:
         help="whisper dims to train (tiny = the real 4-layer d=384 dims)",
     )
     ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--init-from", default=None,
+                    help="fine-tune from an existing checkpoint dir "
+                    "instead of random init")
     ap.add_argument("--beam-size", type=int, default=5)
+    ap.add_argument(
+        "--longform", action="store_true",
+        help="mix 30 s multi-sentence crops into training so the model "
+        "learns whisper's long-form grammar (segment pairs, straddler "
+        "start-only timestamps, previous-text conditioning)",
+    )
+    ap.add_argument("--n-longform", type=int, default=480)
     args = ap.parse_args()
 
     # distinct bundle name so a user's real converted whisper-tiny is
@@ -300,10 +408,22 @@ def main() -> None:
     train_m, eval_m = make_dataset(
         args.data_dir, n_train=args.n_train, n_eval=args.n_eval, seed=args.seed
     )
+    seq_len = 192
+    if args.longform:
+        lf_train, _lf_eval = make_longform_dataset(
+            args.data_dir, n_train=args.n_longform, seed=args.seed
+        )
+        mixed = Path(args.data_dir) / "train_mixed.jsonl"
+        mixed.write_text(
+            Path(train_m).read_text() + Path(lf_train).read_text()
+        )
+        train_m = str(mixed)
+        seq_len = 448  # byte tokenizer: multi-sentence windows + prompts
     if not args.eval_only:
         train_proxy(
             train_m, dst, epochs=args.epochs, lr=args.lr, seed=args.seed,
             model_name=args.model, batch_size=args.batch_size,
+            seq_len=seq_len, init_from=args.init_from,
         )
     print(json.dumps(evaluate_wer(
         dst, eval_m, model_name=args.model, beam_size=args.beam_size

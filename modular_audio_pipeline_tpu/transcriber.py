@@ -102,7 +102,9 @@ class JaxWhisperBackend:
         compression_ratio_threshold: Optional[float] = 2.4,
         patience: Optional[float] = None,  # beam finished-pool factor
         kv_cache_dtype: str = "int8",  # "int8" | "bfloat16" decode KV cache
+        condition_on_previous_text: bool = True,  # seek-loop conditioning
     ):
+        self.condition_on_previous_text = condition_on_previous_text
         self.patience = patience
         self.kv_cache_dtype = kv_cache_dtype
         self.word_timestamps = word_timestamps
@@ -504,7 +506,10 @@ class JaxWhisperBackend:
         padded = np.zeros(win, dtype=np.float32)
         padded[: len(chunk)] = chunk
 
-        prompt = (base_prompt + all_tokens)[-cap:]
+        if self.condition_on_previous_text:
+            prompt = (base_prompt + all_tokens)[-cap:]
+        else:
+            prompt = base_prompt[-cap:]
         # Fixed prompt length after the first window: one compiled
         # prefill shape instead of one per conditioning length.
         if prompt:
@@ -875,6 +880,9 @@ class WhisperTranscriber:
         inst._backend.kv_cache_dtype = getattr(
             config.transcription, "kv_cache_dtype", "int8"
         )
+        inst._backend.condition_on_previous_text = (
+            config.transcription.condition_on_previous_text
+        )
         return inst
 
     def is_loaded(self) -> bool:
@@ -1005,6 +1013,9 @@ class FasterWhisperTranscriber:
         inst._backend.patience = config.transcription.patience
         inst._backend.kv_cache_dtype = getattr(
             config.transcription, "kv_cache_dtype", "int8"
+        )
+        inst._backend.condition_on_previous_text = (
+            config.transcription.condition_on_previous_text
         )
         return inst
 
