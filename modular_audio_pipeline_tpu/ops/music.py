@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["analyze_audio_content", "energy_cv"]
+__all__ = ["analyze_audio_content", "analyze_device", "energy_cv"]
 
 
 @partial(jax.jit, static_argnames=("sr",))
@@ -25,6 +25,47 @@ def window_energies(audio: jnp.ndarray, sr: int) -> jnp.ndarray:
     n = (audio.shape[-1] // window) * window
     windows = audio[:n].reshape(-1, window)
     return jnp.sqrt(jnp.mean(windows * windows, axis=-1))
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def _energy_cv_device(audio: jnp.ndarray, n_valid_windows: jnp.ndarray, sr: int):
+    """Energy CV over the first ``n_valid_windows`` 50 ms windows, reduced
+    ON DEVICE so only one scalar crosses the link (the host formulation
+    downloads the whole waveform — the largest D2H of a parity run)."""
+    e = window_energies(audio, sr)
+    idx = jnp.arange(e.shape[0])
+    valid = (idx < n_valid_windows).astype(jnp.float32)
+    n = jnp.maximum(n_valid_windows.astype(jnp.float32), 1.0)
+    mean = jnp.sum(e * valid) / n
+    var = jnp.sum((e - mean) ** 2 * valid) / n
+    return jnp.sqrt(var) / (mean + 1e-10)
+
+
+def analyze_device(device_audio, n_valid: int, sr: int) -> Dict:
+    """`analyze_audio_content` over a PADDED device-resident waveform.
+
+    Same decision rule and confidence as the host form; the reduction runs
+    in one jitted program and only the CV scalar is fetched.
+    """
+    window = int(sr * 0.05)
+    num_windows = n_valid // window
+    if num_windows < 10:
+        return {"has_music": False, "confidence": 0.0, "reason": "Audio too short"}
+    cv = float(
+        _energy_cv_device(device_audio, jnp.asarray(num_windows, jnp.int32), sr)
+    )
+    has_music = cv < 0.6
+    confidence = max(0.0, min(1.0, (0.8 - cv) / 0.4))
+    return {
+        "has_music": has_music,
+        "confidence": confidence,
+        "energy_cv": cv,
+        "reason": (
+            "Low energy variance suggests background music"
+            if has_music
+            else "High energy variance suggests speech only"
+        ),
+    }
 
 
 def energy_cv(audio: np.ndarray, sr: int) -> float:

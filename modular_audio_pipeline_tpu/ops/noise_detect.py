@@ -25,7 +25,12 @@ import numpy as np
 
 from .framing import frame_signal
 
-__all__ = ["frame_energy_zcr", "detect_noise_segments", "noise_segments_from_features"]
+__all__ = [
+    "frame_energy_zcr",
+    "frame_features",
+    "detect_noise_segments",
+    "noise_segments_from_features",
+]
 
 
 @partial(jax.jit, static_argnames=("sr",))
@@ -38,6 +43,14 @@ def frame_energy_zcr(audio: jnp.ndarray, sr: int) -> Tuple[jnp.ndarray, jnp.ndar
     signs = jnp.signbit(frames)
     zcrs = jnp.sum(jnp.abs(jnp.diff(signs.astype(jnp.int32), axis=-1)), axis=-1) / frame_length
     return energies, zcrs.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def frame_features(audio: jnp.ndarray, sr: int) -> jnp.ndarray:
+    """Stacked ``[2, nf]`` (energy, zcr): ONE device fetch instead of two
+    (each ``np.asarray`` is a separate round-trip on the serial link)."""
+    e, z = frame_energy_zcr(audio, sr)
+    return jnp.stack([e, z])
 
 
 def detect_noise_segments(audio: np.ndarray, sr: int) -> List[Tuple[int, int]]:

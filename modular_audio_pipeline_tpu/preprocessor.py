@@ -245,15 +245,15 @@ class AudioPreprocessor(PreprocessorProtocol):
             noise_start = 0
             if self.noise_config.auto_detect_noise:
                 from .ops.noise_detect import (
-                    frame_energy_zcr,
+                    frame_features,
                     noise_segments_from_features,
                 )
 
                 frame_len, hop = int(sr * 0.025), int(sr * 0.010)
                 nvf = max(0, (n_valid - frame_len) // hop + 1)
-                e, z = frame_energy_zcr(dev, sr)
+                ez = np.asarray(frame_features(dev, sr))
                 segs = noise_segments_from_features(
-                    np.asarray(e)[:nvf], np.asarray(z)[:nvf], sr
+                    ez[0, :nvf], ez[1, :nvf], sr
                 )
                 if segs:
                     longest = max(segs, key=lambda s: s[1] - s[0])
@@ -444,14 +444,14 @@ class AudioPreprocessor(PreprocessorProtocol):
         noise_start = 0
         if denoise and self.noise_config.enabled:
             if self.noise_config.auto_detect_noise:
-                from .ops.noise_detect import frame_energy_zcr
+                from .ops.noise_detect import frame_features
 
                 frame_length = int(sr * 0.025)
                 hop = int(sr * 0.010)
                 nvf = max(0, (n_valid - frame_length) // hop + 1)
-                e, z = frame_energy_zcr(device_audio, sr)
+                ez = np.asarray(frame_features(device_audio, sr))
                 segments = noise_segments_from_features(
-                    np.asarray(e)[:nvf], np.asarray(z)[:nvf], sr
+                    ez[0, :nvf], ez[1, :nvf], sr
                 )
                 if segments:
                     longest = max(segments, key=lambda s: s[1] - s[0])

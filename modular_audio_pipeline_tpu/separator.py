@@ -135,11 +135,19 @@ class VocalSeparator(VocalSeparatorProtocol):
     # -- detection ---------------------------------------------------------
 
     def _analyze_audio_content(self, input_wav: str) -> dict:
-        from .ops.music import analyze_audio_content
+        from .ops.music import analyze_audio_content, analyze_device
 
         try:
-            audio, sr = _read_stage_input(input_wav)
-            result = analyze_audio_content(audio, sr)
+            # Device-resident hand-off: reduce the energy CV on device and
+            # fetch ONE scalar. Downloading the waveform for this analysis
+            # was the largest D2H of a parity run (VERDICT r3 #10); the
+            # host copy is only needed if separation actually runs.
+            buf = get_buffer(input_wav)
+            if buf is not None and buf.device is not None:
+                result = analyze_device(buf.device, buf.n_valid, buf.sr)
+            else:
+                audio, sr = _read_stage_input(input_wav)
+                result = analyze_audio_content(audio, sr)
             logger.info("Audio analysis: %s", result)
             return result
         except Exception as exc:

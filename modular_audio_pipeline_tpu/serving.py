@@ -390,7 +390,7 @@ class ServingPipeline:
         )
         from .ops.bucketing import pad_to_bucket
         from .ops.mel import log_mel
-        from .ops.noise_detect import frame_energy_zcr, noise_segments_from_features
+        from .ops.noise_detect import noise_segments_from_features
 
         cfg = self.config
         self.backend.load()
@@ -499,10 +499,12 @@ class ServingPipeline:
         noise_start = 0
         denoise = cfg.noise_reduction.enabled
         if denoise and cfg.noise_reduction.auto_detect_noise:
+            from .ops.noise_detect import frame_features
+
             frame_len, hop = int(sr * 0.025), int(sr * 0.010)
             nvf = max(0, (n_valid - frame_len) // hop + 1)
-            e, z = frame_energy_zcr(dev_f32, sr)
-            segs = noise_segments_from_features(np.asarray(e)[:nvf], np.asarray(z)[:nvf], sr)
+            ez = np.asarray(frame_features(dev_f32, sr))
+            segs = noise_segments_from_features(ez[0, :nvf], ez[1, :nvf], sr)
             if segs:
                 longest = max(segs, key=lambda s: s[1] - s[0])
                 noise_start = min(longest[0], max(0, n_valid - 2 * sr))

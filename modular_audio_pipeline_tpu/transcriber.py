@@ -883,6 +883,13 @@ class WhisperTranscriber:
         inst._backend.condition_on_previous_text = (
             config.transcription.condition_on_previous_text
         )
+        # The reference constructor has no compute_type (openai-whisper
+        # handles fp16 internally, transcriber.py:82-113), so the config
+        # knob plumbs straight to the backend; without this the "openai"
+        # backend silently ignored transcription.compute_type.
+        inst._backend.compute_dtype = {"float16": "bfloat16"}.get(
+            config.transcription.compute_type, config.transcription.compute_type
+        )
         return inst
 
     def is_loaded(self) -> bool:
