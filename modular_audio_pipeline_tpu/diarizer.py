@@ -614,6 +614,20 @@ class SpeakerDiarizer(DiarizerProtocol):
 
         try:
             buf = get_buffer(audio_path)
+            if buf is not None and buf.device is not None:
+                # Device-resident hand-off: run the same trained stack over
+                # the device waveform (the serving tier) — features, span
+                # gathers, and embeddings stay on device; only probs/
+                # activities/embeddings come back (VERDICT r3 #10).
+                segments, voiceprints = self.diarize_device_timeline(
+                    buf.device, buf.n_valid, buf.sr,
+                    min_speakers=min_speakers, max_speakers=max_speakers,
+                )
+                logger.info(
+                    "Diarization: %d turns, %d speakers",
+                    len(segments), len(set(s.speaker for s in segments)),
+                )
+                return segments, voiceprints
             audio, sr = (buf.as_host(), buf.sr) if buf else read_wav(audio_path)
             spans = self._subsegments(audio, sr)
             if not spans:

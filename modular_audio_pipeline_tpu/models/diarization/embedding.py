@@ -117,7 +117,9 @@ class ConvEmbedder:
 
     def __init__(self, params: Optional[Dict[str, Any]] = None, sr: int = 16000, seed: int = 0):
         self.sr = sr
-        self.params = params if params is not None else self.init_params(seed)
+        params = params if params is not None else self.init_params(seed)
+        # Device-resident params (npz numpy leaves re-upload per call)
+        self.params = jax.tree.map(jnp.asarray, params)
         self._embed = jax.jit(self._forward)
 
     @classmethod

@@ -42,7 +42,9 @@ class SegmentationNet:
     HEADS = 4
 
     def __init__(self, params: Optional[Dict[str, Any]] = None, seed: int = 0):
-        self.params = params if params is not None else self.init_params(seed)
+        params = params if params is not None else self.init_params(seed)
+        # Device-resident params (npz numpy leaves re-upload per call)
+        self.params = jax.tree.map(jnp.asarray, params)
         self._apply = jax.jit(self.apply)
         self._marginals = jax.jit(self.marginals)
 

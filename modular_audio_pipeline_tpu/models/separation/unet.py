@@ -47,7 +47,9 @@ class MaskUNet:
     """[B, F, T] magnitude -> [B, F, T] vocal mask in (0, 1)."""
 
     def __init__(self, params: Optional[Dict[str, Any]] = None, seed: int = 0):
-        self.params = params if params is not None else self.init_params(seed)
+        params = params if params is not None else self.init_params(seed)
+        # Device-resident params (npz numpy leaves re-upload per call)
+        self.params = jax.tree.map(jnp.asarray, params)
         self._apply = jax.jit(self.apply)
 
     @classmethod

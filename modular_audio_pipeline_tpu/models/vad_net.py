@@ -71,7 +71,11 @@ class ConvVAD:
     HIDDEN = 64
 
     def __init__(self, params: Optional[Dict[str, Any]] = None, seed: int = 0):
-        self.params = params if params is not None else self.init_params(seed)
+        params = params if params is not None else self.init_params(seed)
+        # Device-resident params: npz-loaded numpy leaves would re-upload
+        # the whole tree on EVERY jitted call (one link round-trip per
+        # leaf per call on a tunneled TPU).
+        self.params = jax.tree.map(jnp.asarray, params)
         self._forward = jax.jit(self._forward_impl)
 
     @classmethod
@@ -220,7 +224,7 @@ class SileroVAD:
     HID = 128
 
     def __init__(self, params: Dict[str, Any]):
-        self.params = params
+        self.params = jax.tree.map(jnp.asarray, params)  # no per-call re-upload
         self._run = jax.jit(self._run_impl)
 
     def _run_impl(self, params, chunks: jnp.ndarray) -> jnp.ndarray:

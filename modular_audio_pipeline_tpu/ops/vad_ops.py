@@ -91,7 +91,15 @@ def frame_speech_flags(
     bands_d, db_d = band_energies(jnp.asarray(padded), sr, frame_ms)
     bands = np.asarray(bands_d)[:n_valid_frames]
     frame_db = np.asarray(db_d)[:n_valid_frames]
+    return flags_from_band_stats(bands, frame_db, mode)
 
+
+def flags_from_band_stats(
+    bands: np.ndarray, frame_db: np.ndarray, mode: int = 1
+) -> np.ndarray:
+    """Host half of :func:`frame_speech_flags`: adaptive noise floor +
+    mode thresholds over already-fetched band statistics (shared with
+    device-resident callers that fetch the stats themselves)."""
     k = max(1, len(bands) // 10)
     floor = np.sort(bands, axis=0)[:k].mean(axis=0) + 1e-12
     score = np.log2(1.0 + bands / floor).sum(axis=-1)

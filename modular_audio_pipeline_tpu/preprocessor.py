@@ -377,29 +377,74 @@ class AudioPreprocessor(PreprocessorProtocol):
         from .ops.silence import remove_silence as _remove
 
         try:
-            # ONE download here buys exact pydub-parity cutting (sample-level
-            # grouping, 20 ms crossfades) on host; everything upstream
-            # stayed on device
             buf = self._input_buffer(input_wav)
-            audio, sr = buf.as_host(), buf.sr
-            out, mappings, changed = _remove(
-                audio, sr,
-                min_silence_len=min_silence_len,
-                silence_offset_db=silence_offset_db,
-                silence_margin_ms=silence_margin,
-                preserve_timestamps=preserve_timestamps,
-            )
-            if not changed:
-                logger.warning("No non-silent segments found, returning original")
-                return input_wav, []
+            sr = buf.sr
+            if buf.device is not None and sr % 1000 == 0:
+                # Device-resident path: fetch per-ms block energy sums
+                # (1/64th the waveform bytes), detect + plan the cut on
+                # host with the same pydub math (every cut point is 1 ms
+                # -aligned, so the block plan is sample-exact incl. the
+                # 20 ms crossfades), gather on device. The waveform never
+                # crosses the link (VERDICT r3 #10).
+                from .ops.silence import (
+                    block_sums_device,
+                    build_cut_plan,
+                    detect_nonsilent_from_block_sums,
+                    gather_cut_device,
+                )
 
-            out_path = self._out_path(input_wav, "nosilence")
-            publish_buffer(
-                out_path, AudioBuffer(sr=sr, n_valid=len(out), host=out)
-            )
+                spms = sr // 1000
+                n_valid_ms = buf.n_valid // spms
+                block_sq = np.asarray(block_sums_device(buf.device, spms))
+                ranges = detect_nonsilent_from_block_sums(
+                    block_sq, n_valid_ms,
+                    min_silence_len=min_silence_len,
+                    silence_offset_db=silence_offset_db,
+                    spms=spms,
+                )
+                if not ranges:
+                    logger.warning(
+                        "No non-silent segments found, returning original"
+                    )
+                    return input_wav, []
+                ids1, ids2, rstart, rstep, mappings, out_ms = build_cut_plan(
+                    ranges, n_valid_ms, spms,
+                    silence_margin_ms=silence_margin,
+                    preserve_timestamps=preserve_timestamps,
+                )
+                out_dev, n_out = gather_cut_device(
+                    buf.device, sr, ids1, ids2, rstart, rstep, out_ms
+                )
+                out_path = self._out_path(input_wav, "nosilence")
+                publish_buffer(
+                    out_path, AudioBuffer(sr=sr, n_valid=n_out, device=out_dev)
+                )
+                original_duration = buf.n_valid / sr
+                processed_duration = n_out / sr
+            else:
+                # Host path (reference-style DI injection / non-ms rates):
+                # sample-level pydub cutting on the downloaded waveform.
+                audio = buf.as_host()
+                out, mappings, changed = _remove(
+                    audio, sr,
+                    min_silence_len=min_silence_len,
+                    silence_offset_db=silence_offset_db,
+                    silence_margin_ms=silence_margin,
+                    preserve_timestamps=preserve_timestamps,
+                )
+                if not changed:
+                    logger.warning(
+                        "No non-silent segments found, returning original"
+                    )
+                    return input_wav, []
 
-            original_duration = len(audio) / sr
-            processed_duration = len(out) / sr
+                out_path = self._out_path(input_wav, "nosilence")
+                publish_buffer(
+                    out_path, AudioBuffer(sr=sr, n_valid=len(out), host=out)
+                )
+                original_duration = len(audio) / sr
+                processed_duration = len(out) / sr
+
             removed = original_duration - processed_duration
             logger.info(
                 "Silence removed: %s (removed %.1fs, %.1f%%)",

@@ -263,37 +263,19 @@ def _nonsilent_from_block_sums(
     min_silence_len: int = 250,
     silence_offset_db: float = 40.0,
 ) -> List[Tuple[int, int]]:
-    """pydub detect_nonsilent over per-ms block energy sums (exact math)."""
-    cs = np.concatenate([[0.0], np.cumsum(block_sq[:n_valid_ms], dtype=np.float64)])
-    total_ms2 = cs[-1] / max(n_valid_ms * _BLOCK, 1)
-    # threshold relative to clip dBFS (full-scale units: x is in [-1,1])
-    thresh_ms2 = total_ms2 * 10.0 ** (-silence_offset_db / 10.0)
+    """pydub detect_nonsilent over per-ms block energy sums (exact math).
 
-    if n_valid_ms < min_silence_len:
-        return [(0, n_valid_ms)] if n_valid_ms else []
-    win_sums = cs[min_silence_len:] - cs[: n_valid_ms - min_silence_len + 1]
-    win_ms2 = win_sums / (min_silence_len * _BLOCK)
-    silent = np.flatnonzero(win_ms2 <= thresh_ms2)
+    Delegates to the shared ops implementation so serving and the
+    preprocessor's device path run ONE detection (ADVICE r3: serving-
+    local re-derivations drift)."""
+    from .ops.silence import detect_nonsilent_from_block_sums
 
-    if silent.size == 0:
-        return [(0, n_valid_ms)]
-    breaks = np.flatnonzero((np.diff(silent) != 1) & (np.diff(silent) > min_silence_len))
-    range_starts = np.concatenate([[0], breaks + 1])
-    range_ends = np.concatenate([breaks, [silent.size - 1]])
-    silent_ranges = [
-        (int(silent[s]), int(silent[e]) + min_silence_len)
-        for s, e in zip(range_starts, range_ends)
-    ]
-
-    out = []
-    prev = 0
-    for s, e in silent_ranges:
-        if s > prev:
-            out.append((prev, s))
-        prev = e
-    if prev < n_valid_ms:
-        out.append((prev, n_valid_ms))
-    return [(s, e) for s, e in out if e > s]
+    return detect_nonsilent_from_block_sums(
+        block_sq, n_valid_ms,
+        min_silence_len=min_silence_len,
+        silence_offset_db=silence_offset_db,
+        spms=_BLOCK,
+    )
 
 
 def _speech_probs_from_bands(bands: np.ndarray, frame_db: np.ndarray) -> np.ndarray:

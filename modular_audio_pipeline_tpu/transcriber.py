@@ -48,6 +48,48 @@ _SR = 16000
 _BATCH_BUCKETS = (1, 2, 4, 8, 16)
 
 
+def _window_batch_device(dev, start: int, bucket: int, win: int):
+    """Rows [start, start+bucket) of the device waveform's 30 s window
+    view, zero-padded past the end — one jitted program with STATIC
+    indices (eager slicing uploads its start index as a scalar, one link
+    round-trip per batch)."""
+    import functools
+
+    import jax
+
+    @functools.lru_cache(maxsize=128)
+    def build(start, bucket, win, n_total):
+        import jax.numpy as jnp
+
+        @jax.jit
+        def run(x):
+            wins = x.reshape(-1, win)
+            if start + bucket <= wins.shape[0]:
+                return wins[start : start + bucket]
+            pad = start + bucket - wins.shape[0]
+            return jnp.concatenate(
+                [wins[start:], jnp.zeros((pad, win), x.dtype)]
+            )
+
+        return run
+
+    return build(start, bucket, win, int(dev.shape[-1]))(dev)
+
+
+def _retry_rng(temp_idx: int):
+    """Device-cached PRNG key per ladder temperature (a fresh PRNGKey is
+    one scalar upload per retry call)."""
+    import functools
+
+    @functools.lru_cache(maxsize=8)
+    def build(temp_idx):
+        import jax
+
+        return jax.random.PRNGKey(1000 + temp_idx)
+
+    return build(temp_idx)
+
+
 def _read_stage_input(input_wav: str):
     """Previous stage's published buffer when present, else the file."""
     buf = get_buffer(input_wav)
@@ -307,23 +349,53 @@ class JaxWhisperBackend:
             kv_int8=self.kv_cache_dtype == "int8",
         )
 
-    def transcribe_array(self, audio: np.ndarray, sr: int) -> Dict[str, Any]:
+    def transcribe_buffer(self, buf) -> Dict[str, Any]:
+        """Transcribe a device-resident stage buffer: the 30 s windows are
+        sliced on device, so the kept waveform never crosses the link
+        (VERDICT r3 #10). Falls back to the host path when the buffer has
+        no device view, needs resampling, or uses sequential chunking."""
+        win = int(_WINDOW_S * _SR)
+        if (
+            buf.device is None
+            or buf.sr != _SR
+            or self.chunking == "sequential"
+            or int(buf.device.shape[-1]) % win
+        ):
+            return self.transcribe_array(buf.as_host(), buf.sr)
+        return self.transcribe_array(
+            None, _SR, _dev=buf.device, _n_valid=buf.n_valid
+        )
+
+    def transcribe_array(
+        self, audio: Optional[np.ndarray], sr: int, _dev=None, _n_valid=None
+    ) -> Dict[str, Any]:
         import jax.numpy as jnp
 
         from .ops.mel import log_mel
 
         self.load()
-        if sr != _SR:
-            audio = resample_poly(audio, sr, _SR)
-        duration = len(audio) / _SR
-        windows = self._windows(audio)
-        n_win = windows.shape[0]
+        win = int(_WINDOW_S * _SR)
+        if _dev is None:
+            if sr != _SR:
+                audio = resample_poly(audio, sr, _SR)
+            duration = len(audio) / _SR
+            windows = self._windows(audio)
+            n_win = windows.shape[0]
+        else:
+            duration = _n_valid / _SR
+            windows = None
+            n_win = max(1, -(-_n_valid // win))
 
         language = self.language
         if language in (None, "", "auto"):
             from .models.whisper.decode import detect_language
 
-            first_mel = log_mel(jnp.asarray(windows[:1]), n_mels=self.dims.n_mels)
+            first_win = (
+                _window_batch_device(_dev, 0, 1, win)
+                if _dev is not None
+                else jnp.asarray(windows[:1])
+            )
+            first_mel = log_mel(first_win, n_mels=self.dims.n_mels)
             language, _ = detect_language(
                 self.params, self.dims, self.tokenizer, first_mel
             )
@@ -332,6 +404,8 @@ class JaxWhisperBackend:
         opts = self._decode_options(language)
 
         if self.chunking == "sequential":
+            if _dev is not None:  # seek loop is host-driven; materialise
+                audio = np.asarray(_dev, dtype=np.float32)[:_n_valid]
             return self._transcribe_sequential(audio, duration, opts, language)
 
         segments: List[Dict[str, Any]] = []
@@ -345,20 +419,22 @@ class JaxWhisperBackend:
 
         def dispatch(start: int):
             """Launch one window batch (async); returns finalize context."""
-            batch = windows[start : start + self.batch_size]
-            b = batch.shape[0]
+            b = min(self.batch_size, n_win - start)
             # Bucket the batch dim so jit compiles a bounded set of shapes;
             # on a mesh the bucket must divide evenly across the data axis.
             bucket = next(
                 (c for c in _BATCH_BUCKETS if c >= b and c % n_data == 0),
                 ((b + n_data - 1) // n_data) * n_data,
             )
-            if bucket > b:
+            if _dev is not None:
+                padded = _window_batch_device(_dev, start, bucket, win)
+            elif bucket > b:
                 padded = np.concatenate(
-                    [batch, np.zeros((bucket - b, batch.shape[1]), np.float32)]
+                    [windows[start : start + b],
+                     np.zeros((bucket - b, windows.shape[1]), np.float32)]
                 )
             else:
-                padded = batch
+                padded = windows[start : start + b]
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -645,7 +721,7 @@ class JaxWhisperBackend:
             retry_opts = replace(opts, temperature=float(temp), beam_size=1)
             result = decode_windows(
                 self.params, self.dims, self.tokenizer, sub_mel, retry_opts,
-                rng=jax.random.PRNGKey(1000 + temp_idx),
+                rng=_retry_rng(temp_idx),
             )
             still: List[int] = []
             for j, win in enumerate(remaining):
@@ -910,8 +986,12 @@ class WhisperTranscriber:
     def transcribe(self, input_wav: str) -> Dict[str, Any]:
         logger.info("Transcribing: %s", input_wav)
         try:
-            audio, sr = _read_stage_input(input_wav)
-            result = self._backend.transcribe_array(audio, sr)
+            buf = get_buffer(input_wav)
+            if buf is not None and buf.device is not None:
+                result = self._backend.transcribe_buffer(buf)
+            else:
+                audio, sr = _read_stage_input(input_wav)
+                result = self._backend.transcribe_array(audio, sr)
         except (RuntimeError,):
             raise
         except Exception as exc:
@@ -934,6 +1014,9 @@ class WhisperTranscriber:
                 saved[name] = getattr(backend, name)
                 setattr(backend, name, val)
         try:
+            buf = get_buffer(input_wav)
+            if buf is not None and buf.device is not None:
+                return backend.transcribe_buffer(buf)
             audio, sr = _read_stage_input(input_wav)
             return backend.transcribe_array(audio, sr)
         except Exception as exc:
@@ -1037,6 +1120,50 @@ class FasterWhisperTranscriber:
             self._backend.unload()
             logger.info("FasterWhisper model unloaded")
 
+    def _gate_silence_device(self, dev, n_valid: int, sr: int):
+        """Device variant of :meth:`_gate_silence`: band stats fetched
+        (two small arrays), host hangover machine, frame keep-mask applied
+        on device — the waveform never crosses the link."""
+        import functools
+
+        import jax
+
+        from .ops.vad_ops import (
+            band_energies,
+            flags_from_band_stats,
+            hangover_segments,
+        )
+
+        frame_ms = 30
+        frame_len = sr * frame_ms // 1000
+        nvf = n_valid // frame_len
+        if nvf == 0:
+            return dev
+        bands_d, db_d = band_energies(dev, sr, frame_ms)
+        flags = flags_from_band_stats(
+            np.asarray(bands_d)[:nvf], np.asarray(db_d)[:nvf], 1
+        )
+        segs = hangover_segments(flags, frame_ms, 300, 0.5, 0.9)
+        if not segs:
+            return dev
+        keep = np.zeros(int(dev.shape[-1]) // frame_len, dtype=np.float32)
+        for s, e, _ in segs:
+            keep[s : e + 1] = 1.0
+
+        @functools.lru_cache(maxsize=16)
+        def build(frame_len, n_total):
+            import jax.numpy as jnp
+
+            @jax.jit
+            def run(x, keep):
+                return (x.reshape(-1, frame_len) * keep[:, None]).reshape(-1)
+
+            return run
+
+        import jax.numpy as jnp
+
+        return build(frame_len, int(dev.shape[-1]))(dev, jnp.asarray(keep))
+
     def _gate_silence(self, audio: np.ndarray, sr: int) -> np.ndarray:
         """Built-in VAD gate: zero out non-speech (keeps timeline intact)."""
         from .ops.vad_ops import frame_speech_flags, hangover_segments
@@ -1079,6 +1206,22 @@ class FasterWhisperTranscriber:
     def _transcribe_impl(self, input_wav: str) -> Dict[str, Any]:
         logger.info("Transcribing (Optimized): %s", input_wav)
         self.load_model()
+        buf = get_buffer(input_wav)
+        frame_len = _SR * 30 // 1000
+        if (
+            buf is not None
+            and buf.device is not None
+            and buf.sr == _SR
+            and int(buf.device.shape[-1]) % frame_len == 0
+        ):
+            dev = buf.device
+            if self.vad_filter and buf.n_valid > buf.sr:
+                dev = self._gate_silence_device(dev, buf.n_valid, buf.sr)
+            from .audio_io import AudioBuffer
+
+            return self._backend.transcribe_buffer(
+                AudioBuffer(sr=buf.sr, n_valid=buf.n_valid, device=dev)
+            )
         audio, sr = _read_stage_input(input_wav)
         if self.vad_filter and len(audio) > sr:
             audio = self._gate_silence(audio, sr)

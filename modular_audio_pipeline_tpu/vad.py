@@ -303,9 +303,75 @@ class SileroVADFilter(VADProtocol):
         audio, sr = read_wav(input_wav)
         return [(t["start"], t["end"]) for t in self._timestamps(audio, sr)]
 
+    def _filter_voice_device(
+        self, buf, input_wav: str, output_dir: str
+    ) -> Optional[Tuple[str, List[TimestampMapping]]]:
+        """Device-resident cut: probs from the device waveform (probs-only
+        fetch), host hysteresis, block-gather concat on device. Returns
+        None when a boundary is not 1 ms-aligned (host fallback);
+        ``([], ...)`` sentinel handling mirrors the host path."""
+        from .models.vad_net import WINDOW_SAMPLES, speech_timestamps_from_probs
+        from .ops.silence import build_cut_plan, gather_cut_device
+
+        sr = buf.sr
+        spms = sr // 1000
+        nvf = buf.n_valid // WINDOW_SAMPLES
+        if nvf == 0:
+            return None
+        probs = np.asarray(
+            self.model._forward(self.model.params, buf.device)
+        )[:nvf]
+        timestamps = speech_timestamps_from_probs(
+            probs, sr,
+            threshold=self.threshold,
+            min_speech_duration_ms=self.min_speech_duration_ms,
+            audio_length_samples=buf.n_valid,
+        )
+        if not timestamps:
+            logger.warning("No voiced segments detected, returning original audio")
+            return (input_wav, [])
+
+        ranges_ms = []
+        for item in timestamps:
+            s = int(item["start"] * sr)
+            e = int(item["end"] * sr)
+            if s % spms or e % spms:
+                return None  # non-ms-aligned island: host path cuts exactly
+            ranges_ms.append((s // spms, e // spms))
+
+        ids1, ids2, rstart, rstep, mappings, out_ms = build_cut_plan(
+            ranges_ms, buf.n_valid // spms, spms,
+            silence_margin_ms=0, crossfade=False,
+        )
+        out_dev, n_out = gather_cut_device(
+            buf.device, sr, ids1, ids2, rstart, rstep, out_ms
+        )
+        out_path = os.path.join(output_dir, f"{Path(input_wav).stem}_voice.wav")
+        publish_buffer(out_path, AudioBuffer(sr=sr, n_valid=n_out, device=out_dev))
+
+        processed = n_out / sr
+        original = buf.n_valid / sr
+        logger.info(
+            "Silero VAD filtered: %s (kept %.1fs, removed %.1fs, %.1f%% voiced)",
+            out_path, processed, original - processed,
+            processed / max(original, 1e-9) * 100,
+        )
+        return out_path, mappings
+
     def filter_voice(
         self, input_wav: str, output_dir: str
     ) -> Tuple[str, List[TimestampMapping]]:
+        buf = get_buffer(input_wav)
+        if buf is not None and buf.device is not None and buf.sr % 1000 == 0:
+            from .models.vad_net import ConvVAD
+
+            self._load_model()
+            if not self._use_energy and isinstance(self.model, ConvVAD) \
+                    and buf.sr == self.sampling_rate == 16000:
+                out = self._filter_voice_device(buf, input_wav, output_dir)
+                if out is not None:
+                    return out
+
         audio, sr = _read_stage_input(input_wav)
         timestamps = self._timestamps(audio, sr)
         if not timestamps:
