@@ -26,10 +26,13 @@ This path keeps the waveform on device end to end:
    embedding stack over the flattened kept timeline;
 4. only tokens, segmentation activities, and embeddings come back.
 
-Differences vs the exact path (documented, all inaudible to ASR): cuts
-snap to 16-sample blocks, the 20 ms crossfades at cut points are skipped,
-and VAD decisions are computed on the pre-cut timeline then intersected
-with the silence-kept intervals.
+Differences vs the exact path (documented): cuts snap to 16-sample
+blocks, the 20 ms crossfades at cut points are skipped, and VAD
+decisions are computed on the pre-cut timeline then intersected with
+the silence-kept intervals. The crossfade skip is MEASURED, not
+asserted: paired decode of identical streams cut both ways puts the
+WER delta inside beam noise (tools/eval_crossfade.py; BASELINE.md
+"Serving crossfade divergence measured").
 """
 
 from __future__ import annotations
