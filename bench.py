@@ -134,26 +134,61 @@ def main() -> None:
             result = serving.process(audio, SR)
             return len(result["segments"])
 
+    # Fetch-integrity defense (VERDICT r4 next #1): token buffers are
+    # checksummed on device and verified at fetch (runtime/integrity.py).
+    # A 0-segment run means the decode workload (segment parse + DTW word
+    # attachment) was NOT exercised — refuse to record it as the headline:
+    # retry the whole measurement in a fresh process (the relay's
+    # zero-buffer pathology is per-process), and if it persists, emit the
+    # JSON with "valid": false so no consumer can quote it as comparable.
+    import os
+    import subprocess
+
+    from modular_audio_pipeline_tpu.exceptions import FetchIntegrityError
+
+    attempt = int(os.environ.get("MAP_TPU_BENCH_ATTEMPT", "0"))
+
+    def retry_fresh_process(reason: str) -> None:
+        if attempt >= 2:
+            return  # give up; caller emits valid: false
+        log(f"RETRY: {reason} — relaunching bench in a fresh process "
+            f"(attempt {attempt + 1}/2)")
+        env = dict(os.environ, MAP_TPU_BENCH_ATTEMPT=str(attempt + 1))
+        raise SystemExit(
+            subprocess.run([sys.executable] + sys.argv, env=env).returncode
+        )
+
     log("warmup (compiles)...")
     t0 = time.perf_counter()
-    n_segments = run_once()
+    try:
+        n_segments = run_once()
+    except FetchIntegrityError as e:
+        retry_fresh_process(f"fetch integrity failure in warmup: {e}")
+        raise
     log(f"warmup done in {time.perf_counter() - t0:.1f}s ({n_segments} segments)")
     if n_segments == 0:
-        # Seen on degraded relay sessions: token fetches can come back as
-        # zero buffers (nondeterministic per process), which parse to no
-        # segments and silently skip the DTW word-attachment work. Flag
-        # it so the recorded RTF can be read accordingly.
-        log("WARNING: 0 segments parsed — DTW word attachment not "
-            "exercised this run (degenerate random-weight decode or "
-            "relay zero-buffer fetch)")
+        retry_fresh_process("0 segments parsed in warmup — decode "
+                            "workload not exercised")
 
     times = []
-    for i in range(RUNS):
-        t0 = time.perf_counter()
-        run_once()
-        dt = time.perf_counter() - t0
-        times.append(dt)
-        log(f"run {i + 1}/{RUNS}: {dt:.2f}s ({audio_seconds / dt:.1f}x realtime)")
+    counts = [n_segments]
+    try:
+        for i in range(RUNS):
+            t0 = time.perf_counter()
+            counts.append(run_once())
+            dt = time.perf_counter() - t0
+            times.append(dt)
+            log(f"run {i + 1}/{RUNS}: {dt:.2f}s "
+                f"({audio_seconds / dt:.1f}x realtime, {counts[-1]} segments)")
+    except FetchIntegrityError as e:
+        retry_fresh_process(f"fetch integrity failure mid-measurement: {e}")
+        raise
+    n_segments = min(counts)
+    if n_segments == 0:
+        retry_fresh_process("a timed run parsed 0 segments")
+        log("WARNING: recording an INVALID (0-segment) headline — all "
+            "fresh-process retries exhausted; the RTF below did not "
+            "exercise segment parse/DTW and is NOT comparable")
 
     wall = float(np.median(times))
     rtf = audio_seconds / wall
@@ -213,6 +248,8 @@ def main() -> None:
                 "value": round(rtf, 2),
                 "unit": "audio_hours_per_hour_per_chip",
                 "vs_baseline": round(rtf / BASELINE_RTF, 3),
+                "n_segments": int(n_segments),
+                "valid": bool(n_segments > 0),
                 "rtf_best": round(audio_seconds / min(times), 2),
                 "runs_s": [round(t, 2) for t in times],
                 "ms_per_decode_step": round(ms_per_step, 3),

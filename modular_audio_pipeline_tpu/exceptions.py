@@ -110,3 +110,15 @@ class FileValidationError(AudioPipelineError):
 class ShardingError(AudioPipelineError):
     """Mesh construction or sharding specification failed (TPU-specific)."""
     stage = "sharding"
+
+
+class FetchIntegrityError(AudioPipelineError):
+    """A device->host fetch failed checksum verification (TPU-specific).
+
+    Raised when a critical device buffer (decoded tokens, beam logprobs)
+    repeatedly fetches bytes that disagree with the checksum computed on
+    device from the same buffer — seen on degraded tunneled-TPU links,
+    which can return all-zero fetch buffers with no error. Callers
+    should retry the run in a fresh process rather than trust the data.
+    """
+    stage = "fetch"

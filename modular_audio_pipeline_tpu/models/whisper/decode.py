@@ -30,6 +30,7 @@ import numpy as np
 
 from functools import lru_cache
 
+from ...runtime.integrity import checksum_device, fetch_verified_many
 from .config import WhisperDims
 from .model import (
     KVCache,
@@ -855,6 +856,7 @@ def decode_windows_async(
                 opts_key, stage_end, ctx,
             )
         tokens, sum_lp, fin_tok, fin_lp = state[2], state[6], state[9], state[8]
+        chk = checksum_device((tokens, sum_lp, fin_tok, fin_lp, ns_prob))
     else:
         init = _tiled_initial(tuple(initial), b)
         state, ns_prob = _greedy_prefill_jit(
@@ -867,8 +869,9 @@ def decode_windows_async(
                 opts_key, stage_end, ctx,
             )
         tokens, sum_lp = state[2], state[7]
+        chk = checksum_device((tokens, sum_lp, ns_prob))
     return {"tokens": tokens, "sum_lp": sum_lp, "ns_prob": ns_prob,
-            "fin_tok": fin_tok, "fin_lp": fin_lp,
+            "fin_tok": fin_tok, "fin_lp": fin_lp, "chk": chk,
             "beam": beam, "b": b, "k": opts.beam_size, "eot": tokenizer.eot,
             "length_penalty": opts.length_penalty}
 
@@ -876,12 +879,31 @@ def decode_windows_async(
 def finalize_decode(pending) -> DecodeResult:
     """Host side of :func:`decode_windows_async`: beam selection + stats."""
     b, eot = pending["b"], pending["eot"]
+    chk = pending.get("chk")
     if pending["beam"]:
         k = pending["k"]
-        live_tok = np.asarray(pending["tokens"]).reshape(b, k, -1)
-        live_lp = np.asarray(pending["sum_lp"]).reshape(b, k)
-        fin_tok = np.asarray(pending["fin_tok"])  # [B, C, T]
-        fin_lp = np.asarray(pending["fin_lp"])  # [B, C]
+        if chk is not None:
+            # Verified fetch: the relay link can return zeroed buffers
+            # (runtime/integrity.py); tokens/logprobs drive everything
+            # downstream, so they are checksummed on device and compared.
+            live_tok_h, live_lp_h, fin_tok, fin_lp, ns_prob = (
+                fetch_verified_many(
+                    (pending["tokens"], pending["sum_lp"],
+                     pending["fin_tok"], pending["fin_lp"],
+                     pending["ns_prob"]),
+                    chk,
+                    ("tokens", "sum_lp", "fin_tok", "fin_lp", "ns_prob"),
+                )
+            )
+        else:
+            live_tok_h = np.asarray(pending["tokens"])
+            live_lp_h = np.asarray(pending["sum_lp"])
+            fin_tok = np.asarray(pending["fin_tok"])
+            fin_lp = np.asarray(pending["fin_lp"])
+            ns_prob = None
+        live_tok = live_tok_h.reshape(b, k, -1)
+        live_lp = live_lp_h.reshape(b, k)
+        # fin_tok: [B, C, T]; fin_lp: [B, C]
         penalty = pending.get("length_penalty")
 
         def _norm(lp, lens):
@@ -911,11 +933,18 @@ def finalize_decode(pending) -> DecodeResult:
             best = int(_norm(cl, (ct != eot).sum(axis=-1)).argmax())
             tokens[bi] = ct[best]
             sum_lp[bi] = cl[best]
-        ns_prob = np.asarray(pending["ns_prob"])
+        if ns_prob is None:
+            ns_prob = np.asarray(pending["ns_prob"])
     else:
-        tokens = np.asarray(pending["tokens"])
-        sum_lp = np.asarray(pending["sum_lp"])
-        ns_prob = np.asarray(pending["ns_prob"])
+        if chk is not None:
+            tokens, sum_lp, ns_prob = fetch_verified_many(
+                (pending["tokens"], pending["sum_lp"], pending["ns_prob"]),
+                chk, ("tokens", "sum_lp", "ns_prob"),
+            )
+        else:
+            tokens = np.asarray(pending["tokens"])
+            sum_lp = np.asarray(pending["sum_lp"])
+            ns_prob = np.asarray(pending["ns_prob"])
 
     lengths = (tokens != eot).sum(axis=-1).astype(np.int64)
     avg = sum_lp / np.maximum(lengths + 1, 1)  # +1 for EOT, as whisper does

