@@ -4,6 +4,8 @@ This is the 'distributed without a cluster' mechanism (SURVEY.md §4):
 mesh construction, Megatron-style TP param placement, DP+TP training
 steps, and the driver-facing dryrun entry."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -154,6 +156,100 @@ class TestTPInference:
         )
 
 
+class TestBatchDriverMesh:
+    """The 50x1-hr batch workload under a multi-device mesh (VERDICT r4
+    #6): `BatchDriver --serving` with ``tpu.mesh_shape`` set must shard
+    each file's decode windows over the 'data' axis (and params over
+    'model') and produce outputs EQUAL to the unmeshed run — SURVEY §2's
+    "DP over files/chunks ... replaces the reference's serial per-file
+    loop" claim, exercised on the workload that makes it."""
+
+    N_FILES = 3
+
+    def _make_media(self, tmp_path, name):
+        from modular_audio_pipeline_tpu.audio_io import write_wav
+
+        media = tmp_path / name
+        media.mkdir()
+        sr = 16000
+        for i in range(self.N_FILES):
+            t = np.arange(int((38 + 4 * i) * sr)) / sr
+            f0 = 130 + 10 * i + 30 * np.sin(2 * np.pi * 0.7 * t)
+            sig = sum(
+                (0.3 / k) * np.sin(2 * np.pi * k * np.cumsum(f0) / sr)
+                for k in range(1, 5)
+            )
+            env = (np.sin(2 * np.pi * (1.0 + 0.1 * i) * t) > -0.4).astype(np.float32)
+            out = (sig * env * 0.3).astype(np.float32)
+            rng = np.random.default_rng(i)
+            out[:sr] = 0.0008 * rng.standard_normal(sr)
+            out[-sr:] = 0.0008 * rng.standard_normal(sr)
+            write_wav(str(media / f"file{i}.wav"), out, sr)
+        return media
+
+    def _config(self, media_dir, results_dir, mesh_shape=None):
+        from modular_audio_pipeline_tpu.config import PipelineConfig
+
+        cfg = PipelineConfig(media_dir=str(media_dir))
+        cfg.results_dir = str(results_dir)
+        cfg.transcription.model = "test-tiny"
+        cfg.transcription.weights_path = "random:0"
+        cfg.transcription.beam_size = 2
+        cfg.transcription.max_decode_tokens = 12
+        cfg.transcription.language = "en"
+        cfg.transcription.batch_size = 4
+        cfg.transcription.word_timestamps = False
+        cfg.transcription.compute_type = "float32"
+        cfg.diarization.enabled = False
+        if mesh_shape:
+            cfg.tpu.mesh_shape = dict(mesh_shape)
+        return cfg
+
+    def test_serving_batch_under_mesh_equals_unmeshed(self, tmp_path):
+        import json
+
+        from modular_audio_pipeline_tpu.parallel.batch import BatchDriver
+
+        media = self._make_media(tmp_path, "media")
+
+        def run(mesh_shape, results_name):
+            results = tmp_path / results_name
+            cfg = self._config(media, results, mesh_shape)
+            summary = BatchDriver(cfg).run(serving=True)
+            assert summary["succeeded"] == self.N_FILES, summary
+            assert summary["failed"] == 0
+            outs = {}
+            for i in range(self.N_FILES):
+                path = results / f"file{i}_transcription.json"
+                data = json.loads(path.read_text())
+                outs[f"file{i}"] = [
+                    (round(s["start"], 3), round(s["end"], 3), s["text"],
+                     s.get("speaker"))
+                    for s in data["segments"]
+                ]
+            return outs
+
+        ref = run(None, "results_single")
+        got = run({"data": 4, "model": 2}, "results_mesh")
+        assert got == ref, "meshed batch outputs diverged from unmeshed"
+        # the workload produced real segments (not a trivially-empty match)
+        assert any(len(v) > 0 for v in ref.values())
+
+    def test_batch_resume_ledger_under_mesh(self, tmp_path):
+        """Resume semantics survive the meshed path: a second run over the
+        same directory skips everything via the content-hash ledger."""
+        from modular_audio_pipeline_tpu.parallel.batch import BatchDriver
+
+        media = self._make_media(tmp_path, "media2")
+        results = tmp_path / "results_resume"
+        cfg = self._config(media, results, {"data": 8})
+        s1 = BatchDriver(cfg).run(serving=True)
+        assert s1["succeeded"] == self.N_FILES
+        s2 = BatchDriver(cfg).run(serving=True)
+        assert s2["skipped"] == self.N_FILES
+        assert s2["succeeded"] == 0 and s2["failed"] == 0
+
+
 class TestGraftEntry:
     def test_dryrun_multichip_8(self, capsys):
         import __graft_entry__ as g
@@ -166,3 +262,30 @@ class TestGraftEntry:
 
         g.dryrun_multichip(1)
         assert "dryrun_multichip OK" in capsys.readouterr().out
+
+    def test_dryrun_names_budget_and_buckets(self, capsys):
+        """The proof's tail must name the decode budget and the staged
+        -context bucket ladder it covered, and state the TPU-only path
+        (Pallas ancestry kernel) a CPU mesh cannot cover (VERDICT r4 #8)."""
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
+        out = capsys.readouterr().out
+        assert "budget=64" in out
+        assert "stage_buckets=[" in out
+        assert "kv_cache=int8" in out
+        assert "pallas-ancestry-kernel" in out
+
+    @pytest.mark.skipif(
+        os.environ.get("GRAFT_DRYRUN_PRODUCTION", "") in ("", "0"),
+        reason="slow production-budget dryrun; set GRAFT_DRYRUN_PRODUCTION=1",
+    )
+    def test_dryrun_production_budget(self, capsys):
+        """Opt-in: the full 224-token budget with the complete staged
+        -context bucket ladder under the 8-device mesh."""
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
+        out = capsys.readouterr().out
+        assert "budget=224 (production)" in out
+        assert out.count("@") >= 3, "expected a multi-bucket ladder"
