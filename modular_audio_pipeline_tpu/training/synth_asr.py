@@ -31,7 +31,7 @@ logger = logging.getLogger(__name__)
 
 __all__ = [
     "VOCAB", "synth_word", "make_dataset", "make_longform_dataset",
-    "train_proxy", "evaluate_wer",
+    "make_midstream_dataset", "train_proxy", "evaluate_wer",
 ]
 
 SR = 16000
@@ -222,6 +222,119 @@ def make_longform_dataset(
     return manifests[0], manifests[1]
 
 
+def make_midstream_dataset(
+    data_dir: str,
+    n_train: int = 480,
+    n_eval: int = 12,
+    min_words: int = 8,
+    max_words: int = 20,
+    seed: int = 0,
+) -> Tuple[str, str]:
+    """30 s crops that START mid-stream at arbitrary offsets.
+
+    :func:`make_longform_dataset` windows always begin at a stream
+    boundary with a short fresh lead-in — but the windows the production
+    paths actually decode do not: the batched fixed-stride path slices
+    every subsequent window wherever 30 s lands (often mid-sentence),
+    and the seek loop resumes inside an inter-sentence pause. The
+    round-4 long-form failure mode (segment merging, then repetition
+    collapse past ~2 sentences — VERDICT r4 #2) is exactly the
+    distribution this generator covers:
+
+    - each crop is cut from a longer continuous stream at a uniformly
+      random offset, so ~60 % begin inside a sentence;
+    - a leading PARTIAL sentence is excluded from the target entirely
+      (the model must learn to skip un-transcribable audio rather than
+      hallucinate — whisper's crop rule for segments that start before
+      the window);
+    - a straddler at the window end carries only its start timestamp
+      (same rule as make_longform_dataset);
+    - 50 % of crops carry the TRUE preceding sentences as the
+      conditioning prompt — the seek loop passes the actually-decoded
+      previous text (condition_on_previous_text), not random words, so
+      training with real context teaches the model to use it without
+      copying it (the random-word prompts of make_longform_dataset
+      train prompt-robustness; both forms are mixed).
+    """
+    from ..audio_io import write_wav
+
+    root = Path(data_dir)
+    (root / "wav").mkdir(parents=True, exist_ok=True)
+    win = 30 * SR
+    manifests = []
+    for split, count, stream in (("train", n_train, 0), ("eval", n_eval, 500_000)):
+        rng = np.random.default_rng(seed + 311_000 + stream)
+        lines = []
+        for i in range(count):
+            # Continuous stream ~48-70 s so a 30 s crop can start anywhere
+            # in the first ~18-40 s.
+            sents: List[Dict[str, object]] = []  # start/end samples + text
+            parts: List[np.ndarray] = [
+                np.zeros(int(rng.uniform(0.05, 0.3) * SR), np.float32)
+            ]
+            pos = len(parts[0])
+            target_len = int(rng.uniform(48.0, 70.0) * SR)
+            while pos < target_len:
+                k = int(rng.integers(min_words, max_words + 1))
+                words = rng.integers(0, len(VOCAB), size=k)
+                text = " ".join(VOCAB[w] for w in words)
+                sent = synth_sentence(list(words), rng)
+                sents.append({"s": pos, "e": pos + len(sent), "text": text})
+                parts.append(sent)
+                pos += len(sent)
+                pause = np.zeros(int(rng.uniform(0.3, 0.9) * SR), np.float32)
+                parts.append(pause)
+                pos += len(pause)
+            audio_full = np.concatenate(parts)
+            crop0 = int(rng.uniform(0, max(1, len(audio_full) - win)))
+            audio = audio_full[crop0 : crop0 + win]
+            if len(audio) < win:
+                audio = np.pad(audio, (0, win - len(audio)))
+
+            segments: List[Dict[str, float]] = []
+            tail_start = None
+            prev_text: List[str] = []
+            for s_ in sents:
+                if s_["e"] <= crop0:
+                    prev_text.append(str(s_["text"]))
+                    continue
+                if s_["s"] < crop0:
+                    continue  # leading partial: skipped, never transcribed
+                start = round((s_["s"] - crop0) / SR / 0.02) * 0.02
+                if s_["s"] - crop0 >= win:
+                    break
+                if s_["e"] - crop0 > win:
+                    tail_start = start  # straddles the window end
+                    break
+                end = round((s_["e"] - crop0) / SR / 0.02) * 0.02
+                segments.append({"start": start, "end": end,
+                                 "text": str(s_["text"])})
+
+            path = root / "wav" / f"ms_{split}_{i:04d}.wav"
+            write_wav(str(path), audio, SR)
+            prompt = ""
+            if prev_text and rng.random() < 0.5:
+                # true context: the most recent sentences, capped at a
+                # production-prompt-sized word budget
+                prompt = " ".join(" ".join(prev_text[-2:]).split()[-24:])
+            lines.append(json.dumps({
+                "audio": str(path),
+                "text": " ".join(s["text"] for s in segments),
+                "duration": 30.0,
+                "segments": segments,
+                "tail_start": tail_start,
+                "prompt": prompt,
+            }))
+        mpath = root / f"midstream_{split}.jsonl"
+        mpath.write_text("\n".join(lines) + "\n")
+        manifests.append(str(mpath))
+    logger.info(
+        "Mid-stream dataset: %d train / %d eval crops in %s",
+        n_train, n_eval, root,
+    )
+    return manifests[0], manifests[1]
+
+
 def train_proxy(
     manifest: str,
     out_dir: str,
@@ -395,6 +508,14 @@ def main() -> None:
         "start-only timestamps, previous-text conditioning)",
     )
     ap.add_argument("--n-longform", type=int, default=480)
+    ap.add_argument(
+        "--midstream", action="store_true",
+        help="also mix 30 s crops that start mid-stream at arbitrary "
+        "offsets (leading partial sentences skipped, true-context "
+        "conditioning prompts) — the distribution the batched "
+        "fixed-stride and mid-file seek windows actually see",
+    )
+    ap.add_argument("--n-midstream", type=int, default=480)
     args = ap.parse_args()
 
     # distinct bundle name so a user's real converted whisper-tiny is
@@ -409,14 +530,20 @@ def main() -> None:
         args.data_dir, n_train=args.n_train, n_eval=args.n_eval, seed=args.seed
     )
     seq_len = 192
+    extra_parts = []
     if args.longform:
         lf_train, _lf_eval = make_longform_dataset(
             args.data_dir, n_train=args.n_longform, seed=args.seed
         )
-        mixed = Path(args.data_dir) / "train_mixed.jsonl"
-        mixed.write_text(
-            Path(train_m).read_text() + Path(lf_train).read_text()
+        extra_parts.append(Path(lf_train).read_text())
+    if args.midstream:
+        ms_train, _ms_eval = make_midstream_dataset(
+            args.data_dir, n_train=args.n_midstream, seed=args.seed
         )
+        extra_parts.append(Path(ms_train).read_text())
+    if extra_parts:
+        mixed = Path(args.data_dir) / "train_mixed.jsonl"
+        mixed.write_text(Path(train_m).read_text() + "".join(extra_parts))
         train_m = str(mixed)
         seq_len = 448  # byte tokenizer: multi-sentence windows + prompts
     if not args.eval_only:
