@@ -609,10 +609,16 @@ class ServingPipeline:
             vad_keep=webrtc_keep,
         )
         if not keep_ms:
+            # Same schema as the full path (kept_duration/diarization/
+            # decode_stats included) so callers never key-switch on the
+            # all-silence early return.
             return {
                 "text": "", "segments": [], "language": self.backend.language,
-                "duration": duration, "timestamp_mappings": [],
+                "duration": duration, "kept_duration": 0.0,
+                "timestamp_mappings": [], "diarization": [],
                 "vocal_separation": separated,
+                "decode_stats": {"n_windows": 0, "tokens_decoded": 0,
+                                 "mean_tokens_per_window": 0.0},
             }
 
         # --- device: gather kept blocks into 30 s windows -------------------
@@ -707,10 +713,19 @@ class ServingPipeline:
             ), audio_kv))
 
         segments: List[Dict[str, Any]] = []
+        n_windows_decoded = 0
+        tokens_decoded = 0
         for start, b, p, audio_kv in pending:
             result = finalize_decode(p)
             align_jobs: List[tuple] = []
             for i in range(min(b, n_win - start)):
+                # Workload telemetry: tokens actually consumed (to EOT or
+                # the full budget) — lets bench artifacts prove the decode
+                # workload instead of inferring it from segment counts.
+                toks = np.asarray(result.tokens[i])
+                eot_pos = np.nonzero(toks == self.backend.tokenizer.eot)[0]
+                tokens_decoded += int(eot_pos[0]) + 1 if eot_pos.size else len(toks)
+                n_windows_decoded += 1
                 if self.backend._should_skip_window(
                     float(result.no_speech_probs[i]),
                     float(result.avg_logprobs[i]),
@@ -745,6 +760,14 @@ class ServingPipeline:
             "timestamp_mappings": mappings,
             "diarization": diar_turns,
             "vocal_separation": separated,
+            "decode_stats": {
+                "n_windows": n_windows_decoded,
+                "tokens_decoded": tokens_decoded,
+                "mean_tokens_per_window": (
+                    round(tokens_decoded / n_windows_decoded, 1)
+                    if n_windows_decoded else 0.0
+                ),
+            },
         }
 
     # -- helpers ----------------------------------------------------------------

@@ -48,9 +48,45 @@ def speech_like(seconds: float, seed: int = 0) -> np.ndarray:
     return out
 
 
+def voiced_speech(seconds: float, seed: int = 1) -> np.ndarray:
+    """Continuous voiced speech from the shipped source-filter voice model.
+
+    The trained ConvVAD (the serving path's VAD since round 4) learned
+    *that* distribution; the old pure-harmonic `speech_like` bed reads as
+    non-speech to it (3.6% kept of a 480 s file), which collapses the
+    decode workload and invalidates the RTF. Real workloads keep most of
+    real speech through real VAD — the bench audio must do the same.
+    Cached to /tmp (generation is ~30 s of host time for 8 min).
+    """
+    import pathlib
+
+    cache = pathlib.Path(f"/tmp/bench_voiced_{int(seconds)}s_{seed}.npy")
+    if cache.exists():
+        return np.load(cache)
+    from modular_audio_pipeline_tpu.training.voices import (
+        sample_voice, synth_utterance,
+    )
+
+    rng = np.random.default_rng(seed)
+    voices = [sample_voice(rng) for _ in range(4)]
+    n = int(seconds * SR)
+    out = np.zeros(n, dtype=np.float32)
+    pos = 0
+    while pos < n:
+        utt = synth_utterance(voices[rng.integers(len(voices))],
+                              float(rng.uniform(2.5, 5.0)), rng,
+                              pause_prob=0.15)
+        take = min(len(utt), n - pos)
+        out[pos : pos + take] = utt[:take]
+        pos += take + int(rng.uniform(0.08, 0.35) * SR)  # inter-utterance gap
+    np.save(cache, out)
+    return out
+
+
 def music_podcast(seconds: float, seed: int = 1) -> np.ndarray:
-    """Speech bed + repeating music loop, loud enough to trip auto-detect."""
-    speech = speech_like(seconds, seed)
+    """Voiced-speech bed + repeating music loop, loud enough to trip
+    auto-detect (and for separation to have real work to do)."""
+    speech = voiced_speech(seconds, seed)
     n = len(speech)
     t = np.arange(n) / SR
     loop = (
@@ -72,6 +108,11 @@ def base_config(model: str):
     cfg.transcription.batch_size = 16
     cfg.transcription.max_decode_tokens = 224
     cfg.transcription.word_timestamps = True
+    # Random weights can trip the no-speech gate on every window, which
+    # silently drops segment parse + DTW word attachment from the timed
+    # region (the same workload shrink bench.py guards against) — the
+    # recorded RTF must exercise the full decode workload.
+    cfg.transcription.no_speech_threshold = None
     return cfg
 
 
@@ -88,7 +129,9 @@ def build(config_id: int):
         cfg.diarization.enabled = False
         cfg.vad.enabled = True
         cfg.noise_reduction.enabled = True
-        return cfg, speech_like(600.0), "base_10min_vad_nr_loudnorm"
+        # Voiced bed: config 2's workload includes VAD — the audio must
+        # read as speech to the shipped ConvVAD (see voiced_speech).
+        return cfg, voiced_speech(600.0), "base_10min_vad_nr_loudnorm"
     if config_id == 4:
         cfg = base_config("large-v3")
         # 32 decoder layers x BK=80 int8 KV + cross KV + in-flight batches
@@ -132,19 +175,31 @@ def main() -> None:
 
         t0 = time.perf_counter()
         result = pipe.process(audio, SR)
+        ds = result.get("decode_stats", {})
         log(f"  warmup {time.perf_counter() - t0:.1f}s "
             f"({len(result['segments'])} segments, "
-            f"separated={result.get('vocal_separation')})")
+            f"separated={result.get('vocal_separation')}, "
+            f"kept={result.get('kept_duration', 0):.0f}s, "
+            f"windows={ds.get('n_windows')}, "
+            f"tok/win={ds.get('mean_tokens_per_window')})")
 
         times = []
+        seg_counts = [len(result["segments"])]
         for i in range(args.runs):
             t0 = time.perf_counter()
-            pipe.process(audio, SR)
+            out = pipe.process(audio, SR)
             dt = time.perf_counter() - t0
             times.append(dt)
-            log(f"  run {i + 1}/{args.runs}: {dt:.2f}s ({seconds / dt:.1f}x)")
+            seg_counts.append(len(out["segments"]))
+            log(f"  run {i + 1}/{args.runs}: {dt:.2f}s ({seconds / dt:.1f}x, "
+                f"{seg_counts[-1]} segments)")
 
         rtf = seconds / float(np.median(times))
+        n_segments = min(seg_counts)
+        if n_segments == 0:
+            log(f"  WARNING: config {config_id} parsed 0 segments in at "
+                "least one run — decode workload not exercised; RTF not "
+                "comparable")
         print(
             json.dumps(
                 {
@@ -153,6 +208,10 @@ def main() -> None:
                     "rtf": round(rtf, 2),
                     "unit": "audio_hours_per_hour_per_chip",
                     "runs_s": [round(x, 2) for x in times],
+                    "n_segments": n_segments,
+                    "kept_s": round(float(result.get("kept_duration", 0.0)), 1),
+                    "decode_stats": ds,
+                    "valid": bool(n_segments > 0 and ds.get("n_windows", 0) > 0),
                 }
             ),
             flush=True,

@@ -69,6 +69,9 @@ def main() -> None:
     ap.add_argument("--paths", default="batched,sequential")
     ap.add_argument("--beam", type=int, default=5)
     ap.add_argument("--weights", default=str(BUNDLE))
+    ap.add_argument("--model", default="tiny",
+                    help="whisper dims of the proxy under test (a base-dims "
+                    "proxy is the VERDICT r4 #2 capacity lever)")
     ap.add_argument("--min-words", type=int, default=8)
     ap.add_argument("--max-words", type=int, default=20,
                     help="long-form sentence lengths; default matches the "
@@ -105,7 +108,7 @@ def main() -> None:
     results = {}
     for mode in args.paths.split(","):
         tr = WhisperTranscriber(
-            model_name="tiny",
+            model_name=args.model,
             language="en",
             beam_size=args.beam,
             weights_path=args.weights,
