@@ -117,6 +117,69 @@ def _chk_jit(arrays):
     return fn(arrays)
 
 
+def put_verified(
+    host_arrays: Sequence[np.ndarray],
+    names: Sequence[str],
+    retries: int = 3,
+):
+    """Upload arrays and verify the DEVICE copies against host checksums.
+
+    The round-5 paired-WER run exposed the other direction of the relay
+    pathology: a whole decode produced all-NUL token buffers whose
+    device-side checksums VERIFIED — the corruption happened on the
+    host->device upload (zeroed param/mel buffers), so the device
+    faithfully computed garbage and the d2h defense had nothing to catch.
+    This is the mirror defense: checksum each uploaded buffer on device
+    (one tiny program) and compare against the host-computed checksum;
+    re-upload mismatches; raise :class:`FetchIntegrityError` when the
+    link keeps corrupting.
+
+    Returns the list of verified device arrays (same order as input).
+    Cost: one extra device program over the uploaded buffers + one
+    4*n-byte fetch — negligible against model-weight uploads, which is
+    the intended use (verify params once per process, not per step).
+    """
+    import jax.numpy as jnp
+
+    hosts = [np.asarray(a) for a in host_arrays]
+    expected = np.array([host_checksum(h) for h in hosts], np.uint32)
+    devs = [jnp.asarray(h) for h in hosts]
+    for attempt in range(retries + 1):
+        got = np.asarray(checksum_device(devs)).astype(np.uint32)
+        bad = [i for i in range(len(devs)) if got[i] != expected[i]]
+        if not bad:
+            if attempt:
+                logger.warning(
+                    "upload integrity recovered after %d re-upload(s)",
+                    attempt,
+                )
+            return devs
+        if attempt == retries:
+            break
+        logger.warning(
+            "upload integrity mismatch on %s (attempt %d/%d) — "
+            "re-uploading", [names[i] for i in bad], attempt + 1, retries,
+        )
+        for i in bad:
+            devs[i] = jnp.asarray(np.ascontiguousarray(hosts[i]))
+    raise FetchIntegrityError(
+        "host->device upload failed checksum verification after "
+        f"{retries} re-uploads",
+        details=f"buffers: {[names[i] for i in bad]}; "
+        "the relay link is corrupting (typically zeroing) uploads — "
+        "retry in a fresh process",
+    )
+
+
+def put_verified_tree(tree, name: str = "params", retries: int = 3):
+    """:func:`put_verified` over a pytree (e.g. a model-param dict)."""
+    import jax
+
+    leaves, treedef = jax.tree.flatten(tree)
+    names = [f"{name}[{i}]" for i in range(len(leaves))]
+    return jax.tree.unflatten(treedef, put_verified(leaves, names, retries))
+
+
 def _refetch(dev_array) -> np.ndarray:
     """Force a FRESH device->host transfer (bypass the cached host copy).
 

@@ -221,7 +221,15 @@ class JaxWhisperBackend:
             import jax
 
             host = load_params(path, dtype=self.compute_dtype)
-            self.params = jax.tree.map(jnp.asarray, host)
+            if jax.default_backend() != "cpu":
+                # Verified upload: this relay can zero h2d transfers as
+                # well as d2h ones (all-NUL decodes whose d2h checksums
+                # verified, round 5) — see runtime/integrity.put_verified.
+                from .runtime.integrity import put_verified_tree
+
+                self.params = put_verified_tree(host, name="whisper")
+            else:
+                self.params = jax.tree.map(jnp.asarray, host)
             self.tokenizer = load_tokenizer(path, n_vocab=self.dims.n_vocab)
             self._maybe_quantize()
             self._place_params()

@@ -100,3 +100,65 @@ class TestFetchVerified:
             assert pending.get("chk") is not None
             result = finalize_decode(pending)
             assert result.tokens.shape[0] == 1
+
+class TestPutVerified:
+    def test_good_upload_passes(self):
+        from modular_audio_pipeline_tpu.runtime.integrity import put_verified
+
+        a = np.arange(64, dtype=np.int32)
+        b = np.random.default_rng(1).standard_normal((5, 7)).astype(np.float32)
+        devs = put_verified([a, b], ["a", "b"])
+        np.testing.assert_array_equal(np.asarray(devs[0]), a)
+        np.testing.assert_array_equal(np.asarray(devs[1]), b)
+
+    def test_tree_upload_roundtrips(self):
+        from modular_audio_pipeline_tpu.runtime.integrity import (
+            put_verified_tree,
+        )
+
+        tree = {
+            "w": np.ones((4, 4), np.float32),
+            "nested": {"b": np.arange(3, dtype=np.int32)},
+        }
+        dev = put_verified_tree(tree, name="t")
+        np.testing.assert_array_equal(np.asarray(dev["w"]), tree["w"])
+        np.testing.assert_array_equal(
+            np.asarray(dev["nested"]["b"]), tree["nested"]["b"]
+        )
+
+    def test_corrupted_upload_raises(self, monkeypatch):
+        # Simulate a link that zeroes every upload: the device checksum
+        # is computed from zeros, never matching the host's.
+        import jax.numpy as jnp
+
+        from modular_audio_pipeline_tpu.runtime import integrity
+
+        real = integrity.checksum_device
+
+        def zeroed_checksum(arrays):
+            return real([jnp.zeros_like(a) for a in arrays])
+
+        monkeypatch.setattr(integrity, "checksum_device", zeroed_checksum)
+        with pytest.raises(FetchIntegrityError):
+            integrity.put_verified(
+                [np.arange(16, dtype=np.int32)], ["a"], retries=1
+            )
+
+    def test_bfloat16_leaves_verify(self):
+        # Model params are bf16 on TPU; host/device checksums must agree
+        # for 2-byte dtypes (the halfword packing path in _chk_one).
+        import jax.numpy as jnp
+        import ml_dtypes
+
+        from modular_audio_pipeline_tpu.runtime.integrity import put_verified
+
+        a = (
+            np.random.default_rng(2)
+            .standard_normal((33, 5))
+            .astype(ml_dtypes.bfloat16)
+        )
+        (dev,) = put_verified([a], ["w"])
+        assert dev.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(dev).view(np.uint16), a.view(np.uint16)
+        )

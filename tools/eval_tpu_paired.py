@@ -76,7 +76,20 @@ def decode_all(weights: str, ancestry: bool, device: str, limit: int):
     data, sr = build_eval_set(limit)
     dims = WHISPER_DIMS["tiny"]
     dtype = "float32" if device == "cpu" else "bfloat16"
-    params = jax.tree.map(jnp.asarray, load_params(weights, dtype=dtype))
+    if device == "cpu":
+        params = jax.tree.map(jnp.asarray, load_params(weights, dtype=dtype))
+    else:
+        # Round-5 finding: the relay can zero UPLOADS too (an all-NUL
+        # decode whose d2h checksums verified). Verify the param and
+        # window uploads so a corrupted link fails loudly, never as a
+        # quietly-degenerate WER number.
+        from modular_audio_pipeline_tpu.runtime.integrity import (
+            put_verified_tree,
+        )
+
+        params = put_verified_tree(
+            load_params(weights, dtype=dtype), name="whisper"
+        )
     tok = load_tokenizer(weights, dims.n_vocab)
     opts = DecodeOptions(language="en", beam_size=5, max_tokens=128,
                          timestamps=True, kv_int8=True, ancestry=ancestry)
@@ -89,7 +102,15 @@ def decode_all(weights: str, ancestry: bool, device: str, limit: int):
         wins = np.zeros((len(batch), win), np.float32)
         for j, (_t, wav) in enumerate(batch):
             wins[j, : min(len(wav), win)] = wav[:win]
-        mel = log_mel(jnp.asarray(wins), n_mels=dims.n_mels)
+        if device == "cpu":
+            wins_dev = jnp.asarray(wins)
+        else:
+            from modular_audio_pipeline_tpu.runtime.integrity import (
+                put_verified,
+            )
+
+            (wins_dev,) = put_verified([wins], ["windows"])
+        mel = log_mel(wins_dev, n_mels=dims.n_mels)
         res = decode_windows(params, dims, tok, mel, opts)
         for j in range(len(batch)):
             toks = [int(t) for t in res.tokens[j]
